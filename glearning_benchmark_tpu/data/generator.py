@@ -1,0 +1,328 @@
+"""Synthetic graph + task corpus generator.
+
+Re-implements, from documented behavior, the external ``graph-token`` repo the
+reference depends on but does not vendor (reference: .gitignore:13-16,
+docs/synthetic_data.md). Seven generator algorithms, two exercised tasks
+(cycle_check, shortest_path), graph-token JSON/text output layout:
+
+    <root>/tasks_train/<task>/<algo>/train/graph_XXXX.json
+    <root>/tasks_test/<task>/<algo>/{val,test}/graph_XXXX.json
+
+Each JSON file holds a list of ``{"text": ...}`` records in the graph-token
+grammar (one record per graph for cycle_check; one record per query pair for
+shortest_path — all N(N-1)/2 pairs, reference docs/synthetic_data.md:141-150).
+
+Size buckets small/medium/large = 10-20/20-40/40-50 nodes and sparsity range
+[0.1, 0.2] follow docs/synthetic_data.md:122-136. Unreachable pairs are
+emitted as ``INF`` (the loaders drop them, reference data_loader.py:31-33);
+pairs with distance > 7 are also emitted as INF so the task stays the 7-class
+problem of the reference baselines (len1..len7, reference metrics.py:83-84).
+
+All randomness is driven by stable per-(algo, split, index) seeds so any host
+in a pod slice regenerates byte-identical corpora.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import deque
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.hashing import stable_hash
+from .graphs import Graph
+from .text_grammar import graph_to_text
+
+ALGORITHMS = ("er", "ba", "sbm", "sfn", "complete", "star", "path")
+
+_SIZE_BUCKETS = {
+    "small": (10, 20),
+    "medium": (20, 40),
+    "large": (40, 50),
+}
+
+MAX_PATH_CLASSES = 7  # len1..len7
+
+
+# ---------------------------------------------------------------------------
+# Graph generation
+# ---------------------------------------------------------------------------
+
+def _pick_num_nodes(rng: np.random.Generator) -> int:
+    bucket = ("small", "medium", "large")[rng.integers(0, 3)]
+    lo, hi = _SIZE_BUCKETS[bucket]
+    return int(rng.integers(lo, hi))
+
+
+def _dedup_edges(edges: List[Tuple[int, int]]) -> np.ndarray:
+    seen = set()
+    out = []
+    for u, v in edges:
+        if u == v:
+            continue
+        key = (u, v) if u < v else (v, u)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((u, v))
+    return np.asarray(out, dtype=np.int32).reshape(-1, 2)
+
+
+def _gen_er(rng: np.random.Generator, n: int, p: float) -> np.ndarray:
+    iu, iv = np.triu_indices(n, k=1)
+    mask = rng.random(iu.shape[0]) < p
+    return np.stack([iu[mask], iv[mask]], axis=1).astype(np.int32)
+
+
+def _gen_ba(rng: np.random.Generator, n: int, m: int) -> np.ndarray:
+    """Barabási–Albert preferential attachment."""
+    edges: List[Tuple[int, int]] = []
+    targets = list(range(m))
+    repeated: List[int] = list(range(m))
+    for src in range(m, n):
+        for t in targets:
+            edges.append((src, t))
+        repeated.extend(targets)
+        repeated.extend([src] * m)
+        # sample m distinct targets preferentially for next node
+        targets = []
+        while len(targets) < m:
+            cand = repeated[rng.integers(0, len(repeated))]
+            if cand not in targets:
+                targets.append(cand)
+    return _dedup_edges(edges)
+
+
+def _gen_sbm(rng: np.random.Generator, n: int, p: float) -> np.ndarray:
+    """2-3 blocks; intra-block dense, inter-block sparse; overall density ~ p."""
+    k = int(rng.integers(2, 4))
+    labels = rng.integers(0, k, size=n)
+    p_in = min(1.0, p * 3.0)
+    p_out = p * 0.25
+    iu, iv = np.triu_indices(n, k=1)
+    same = labels[iu] == labels[iv]
+    prob = np.where(same, p_in, p_out)
+    mask = rng.random(iu.shape[0]) < prob
+    return np.stack([iu[mask], iv[mask]], axis=1).astype(np.int32)
+
+
+def _gen_sfn(rng: np.random.Generator, n: int, m: int, pt: float) -> np.ndarray:
+    """Holme–Kim powerlaw-cluster: BA growth with triad-closure steps."""
+    edges: List[Tuple[int, int]] = []
+    edge_set = set()
+    repeated: List[int] = list(range(m))
+    neighbors: Dict[int, List[int]] = {i: [] for i in range(n)}
+
+    def add_edge(u: int, v: int):
+        if u == v:
+            return False
+        key = (u, v) if u < v else (v, u)
+        if key in edge_set:
+            return False
+        edge_set.add(key)
+        edges.append((u, v))
+        neighbors[u].append(v)
+        neighbors[v].append(u)
+        return True
+
+    for i in range(m):
+        for j in range(i + 1, m):
+            add_edge(i, j)
+    for src in range(m, n):
+        count = 0
+        last_target = None
+        while count < m:
+            if last_target is not None and rng.random() < pt and neighbors[last_target]:
+                # triad closure: connect to a neighbor of the last target
+                cand = neighbors[last_target][rng.integers(0, len(neighbors[last_target]))]
+            else:
+                cand = repeated[rng.integers(0, len(repeated))] if repeated else int(rng.integers(0, src))
+            if add_edge(src, cand):
+                repeated.append(cand)
+                last_target = cand
+                count += 1
+        repeated.extend([src] * m)
+    return np.asarray(edges, dtype=np.int32).reshape(-1, 2)
+
+
+def _gen_complete(n: int) -> np.ndarray:
+    iu, iv = np.triu_indices(n, k=1)
+    return np.stack([iu, iv], axis=1).astype(np.int32)
+
+
+def _gen_star(n: int) -> np.ndarray:
+    return np.stack([np.zeros(n - 1, dtype=np.int32),
+                     np.arange(1, n, dtype=np.int32)], axis=1)
+
+
+def _gen_path(n: int) -> np.ndarray:
+    return np.stack([np.arange(0, n - 1, dtype=np.int32),
+                     np.arange(1, n, dtype=np.int32)], axis=1)
+
+
+def generate_graph(algorithm: str, seed: int,
+                   min_sparsity: float = 0.1, max_sparsity: float = 0.2) -> Graph:
+    """Generate one graph with a stable seed. ``y`` is left as 0 (task-free)."""
+    rng = np.random.default_rng(seed)
+    n = _pick_num_nodes(rng)
+    p = float(rng.uniform(min_sparsity, max_sparsity))
+    if algorithm == "er":
+        edges = _gen_er(rng, n, p)
+    elif algorithm == "ba":
+        m = int(rng.integers(1, 3))  # mix trees (m=1) and cyclic (m=2)
+        edges = _gen_ba(rng, n, m)
+    elif algorithm == "sbm":
+        edges = _gen_sbm(rng, n, p)
+    elif algorithm == "sfn":
+        edges = _gen_sfn(rng, n, m=2, pt=float(rng.uniform(0.3, 0.7)))
+    elif algorithm == "complete":
+        # keep complete graphs small: density 1.0 on >=40 nodes dwarfs others
+        n = int(rng.integers(5, 12))
+        edges = _gen_complete(n)
+    elif algorithm == "star":
+        edges = _gen_star(n)
+    elif algorithm == "path":
+        edges = _gen_path(n)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    # shuffle edge emission order (graph-token serializes in generator order)
+    if edges.shape[0] > 1:
+        perm = rng.permutation(edges.shape[0])
+        edges = edges[perm]
+    return Graph(edges=edges, num_nodes=n, y=0)
+
+
+# ---------------------------------------------------------------------------
+# Task oracles
+# ---------------------------------------------------------------------------
+
+def has_cycle(g: Graph) -> bool:
+    """Union-find cycle oracle (used both for labels and QA tests)."""
+    parent = list(range(g.num_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in g.edges:
+        ru, rv = find(int(u)), find(int(v))
+        if ru == rv:
+            return True
+        parent[ru] = rv
+    return False
+
+
+def bfs_distances(g: Graph, src: int) -> np.ndarray:
+    """Single-source BFS distances; unreachable = -1."""
+    adj: List[List[int]] = [[] for _ in range(g.num_nodes)]
+    for u, v in g.edges:
+        adj[int(u)].append(int(v))
+        adj[int(v)].append(int(u))
+    dist = np.full(g.num_nodes, -1, dtype=np.int32)
+    dist[src] = 0
+    dq = deque([src])
+    while dq:
+        cur = dq.popleft()
+        for nb in adj[cur]:
+            if dist[nb] < 0:
+                dist[nb] = dist[cur] + 1
+                dq.append(nb)
+    return dist
+
+
+def all_pairs_distances(g: Graph) -> np.ndarray:
+    d = np.full((g.num_nodes, g.num_nodes), -1, dtype=np.int32)
+    for s in range(g.num_nodes):
+        d[s] = bfs_distances(g, s)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Task record emission
+# ---------------------------------------------------------------------------
+
+def cycle_check_records(g: Graph) -> List[dict]:
+    label = "yes" if has_cycle(g) else "no"
+    text = graph_to_text(g.edges, g.num_nodes, "has_cycle", label)
+    return [{"text": text}]
+
+
+def shortest_path_records(g: Graph, max_classes: int = MAX_PATH_CLASSES) -> List[dict]:
+    dist = all_pairs_distances(g)
+    recs = []
+    for u in range(g.num_nodes):
+        for v in range(u + 1, g.num_nodes):
+            d = int(dist[u, v])
+            if d <= 0 or d > max_classes:
+                label = "INF"
+            else:
+                label = f"len{d}"
+            text = graph_to_text(g.edges, g.num_nodes,
+                                 f"shortest_distance {u} {v}", label)
+            recs.append({"text": text})
+    return recs
+
+
+_TASK_EMITTERS = {
+    "cycle_check": cycle_check_records,
+    "shortest_path": shortest_path_records,
+}
+
+
+def graph_seed(base_seed: int, algorithm: str, split: str, index: int) -> int:
+    return (base_seed
+            + stable_hash(f"{algorithm}/{split}") % (1 << 31)
+            + index * 1000003) % (1 << 63)
+
+
+def generate_corpus(
+    root: str,
+    tasks: Sequence[str] = ("cycle_check", "shortest_path"),
+    algorithms: Sequence[str] = ALGORITHMS,
+    number_of_graphs: int = 500,
+    test_graphs: Optional[int] = None,
+    seed: int = 1234,
+    min_sparsity: float = 0.1,
+    max_sparsity: float = 0.2,
+) -> None:
+    """Write a graph-token-layout JSON corpus under ``root``.
+
+    Train graphs go to tasks_train/<task>/<algo>/train; a disjoint set of
+    test graphs goes to tasks_test/<task>/<algo>/{val,test}. Graphs are
+    shared across tasks per (algo, split, index), like graph-token which
+    generates graphs first and derives tasks from them.
+    """
+    test_graphs = test_graphs if test_graphs is not None else max(50, number_of_graphs // 5)
+    split_plan = [
+        ("train", "tasks_train", "train", number_of_graphs, 0),
+        ("val", "tasks_test", "val", test_graphs, 10_000_000),
+        ("test", "tasks_test", "test", test_graphs, 20_000_000),
+    ]
+    for algo in algorithms:
+        for split, top, sub, count, idx_offset in split_plan:
+            graphs = [
+                generate_graph(algo, graph_seed(seed, algo, split, idx_offset + i),
+                               min_sparsity, max_sparsity)
+                for i in range(count)
+            ]
+            for task in tasks:
+                emit = _TASK_EMITTERS[task]
+                out_dir = os.path.join(root, top, task, algo, sub)
+                os.makedirs(out_dir, exist_ok=True)
+                for i, g in enumerate(graphs):
+                    recs = emit(g)
+                    path = os.path.join(out_dir, f"graph_{i:05d}.json")
+                    with open(path, "w") as f:
+                        json.dump(recs, f)
+
+
+def ensure_corpus(root: str, **kwargs) -> str:
+    """Generate the corpus under ``root`` if it does not already exist."""
+    marker = os.path.join(root, "tasks_train")
+    if not os.path.isdir(marker):
+        generate_corpus(root, **kwargs)
+    return root

@@ -1,0 +1,252 @@
+"""Corpus loaders for the graph-token JSON layout.
+
+Mirrors the observable behavior of the reference data layer
+(graph_data_loader/data_loader.py): format-tolerant record extraction
+(JSON array / dict / JSONL / raw lines), two directory layouts with
+val->test fallback, per-algorithm file sampling (``num_graphs``) and
+per-graph pair sampling (``num_pairs_per_graph``), INF-pair dropping and
+class auto-detection — but with stable per-algorithm seeds instead of
+Python's randomized ``hash`` (reference data_loader.py:627).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from glob import glob
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.hashing import stable_hash
+from .graphs import Graph
+from .text_grammar import (
+    parse_distance_label_from_text,
+    parse_query_nodes_from_text,
+    parse_yes_no_from_text,
+    text_record_to_graph,
+)
+
+
+def _extract_text_and_label(rec: Any, task: str):
+    """(text, label, query_nodes) from a record of any supported shape
+    (reference: data_loader.py:57-110)."""
+    query_nodes = None
+    if isinstance(rec, str):
+        t = rec.strip()
+    elif isinstance(rec, dict):
+        t = rec.get("text") or rec.get("sequence")
+        if t is None and isinstance(rec.get("tokens"), (list, tuple)):
+            t = " ".join(map(str, rec["tokens"]))
+        lab = rec.get("label", rec.get("answer"))
+        if task == "shortest_path":
+            if isinstance(lab, int):
+                q = parse_query_nodes_from_text(t) if isinstance(t, str) else None
+                return (t.strip() if isinstance(t, str) else None), lab, q
+            if isinstance(t, str):
+                return t.strip(), parse_distance_label_from_text(t), parse_query_nodes_from_text(t)
+            return None, None, None
+        if isinstance(lab, str):
+            ll = lab.lower().strip()
+            lab = 1 if ll in ("yes", "true", "connected", "reachable") else (
+                0 if ll in ("no", "false", "disconnected", "unreachable") else None)
+        elif isinstance(lab, (int, bool)):
+            lab = int(bool(lab))
+        if isinstance(t, str):
+            t = t.strip()
+            if lab is None:
+                lab = parse_yes_no_from_text(t)
+            return t, lab, None
+        return None, None, None
+    elif isinstance(rec, list) and all(isinstance(x, (str, int)) for x in rec):
+        t = " ".join(map(str, rec))
+    else:
+        return None, None, None
+
+    if task == "shortest_path":
+        return t, parse_distance_label_from_text(t), parse_query_nodes_from_text(t)
+    return t, parse_yes_no_from_text(t), None
+
+
+def _read_records(path: str) -> List[Any]:
+    with open(path, "r") as f:
+        raw = f.read().strip()
+    if not raw:
+        return []
+    try:
+        obj = json.loads(raw)
+        return obj if isinstance(obj, list) else [obj]
+    except json.JSONDecodeError:
+        pass
+    recs: List[Any] = []
+    for line in raw.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+            recs.extend(obj if isinstance(obj, list) else [obj])
+        except json.JSONDecodeError:
+            recs.append(line)
+    return recs
+
+
+def resolve_split_dir(root: str, task: str, algorithm: str, split: str,
+                      use_split_tasks_dirs: bool = True) -> str:
+    """Layout A (tasks_train/tasks_test) or B (tasks/), val->test fallback
+    (reference: data_loader.py:499-520, 608-624)."""
+    if use_split_tasks_dirs:
+        top = "tasks_test" if split in ("val", "test") else "tasks_train"
+        base = os.path.join(root, top, task, algorithm)
+    else:
+        base = os.path.join(root, "tasks", task, algorithm)
+    split_dir = os.path.join(base, split)
+    if split == "val" and not glob(os.path.join(split_dir, "*.json")):
+        split_dir = os.path.join(base, "test")
+    return split_dir
+
+
+def load_examples(
+    path_glob: str,
+    task: str = "cycle_check",
+    seed: int = 0,
+    num_graphs: Optional[int] = None,
+    num_pairs_per_graph: Optional[int] = None,
+) -> List[Dict[str, Any]]:
+    """Load example dicts {"text", "label"[, "query_u","query_v"]} from files.
+
+    ``num_graphs`` subsamples files; for shortest_path,
+    ``num_pairs_per_graph`` subsamples query-pair records within each file
+    (reference: data_loader.py:112-245). Records whose label is None
+    (e.g. INF pairs) are dropped for shortest_path pair sampling, matching
+    the reference's ``query_nodes is not None`` + label checks downstream.
+    """
+    files = sorted(glob(path_glob))
+    if num_graphs is not None and len(files) > num_graphs:
+        rng = random.Random(seed)
+        files = sorted(rng.sample(files, num_graphs))
+
+    out: List[Dict[str, Any]] = []
+    pair_rng = random.Random(seed)
+    for fp in files:
+        recs = _read_records(fp)
+        file_examples: List[Dict[str, Any]] = []
+        for rec in recs:
+            t, y, q = _extract_text_and_label(rec, task=task)
+            if not t:
+                continue
+            entry: Dict[str, Any] = {"text": t, "label": y}
+            if q is not None:
+                entry["query_u"], entry["query_v"] = q
+            if task == "shortest_path" and num_pairs_per_graph is not None:
+                if q is not None and y is not None:
+                    file_examples.append(entry)
+            else:
+                out.append(entry)
+        if task == "shortest_path" and num_pairs_per_graph is not None:
+            if len(file_examples) > num_pairs_per_graph:
+                file_examples = pair_rng.sample(file_examples, num_pairs_per_graph)
+            out.extend(file_examples)
+    return out
+
+
+def load_examples_multi_algorithm(
+    root: str,
+    task: str,
+    algorithms: Sequence[str],
+    split: str,
+    use_split_tasks_dirs: bool = True,
+    seed: int = 0,
+    num_graphs: Optional[int] = None,
+    num_pairs_per_graph: Optional[int] = None,
+) -> List[Dict[str, Any]]:
+    """Concatenate per-algorithm example lists with stable derived seeds
+    (reference: data_loader.py:588-633; ``hash(algo)`` replaced by
+    ``stable_hash``)."""
+    all_examples: List[Dict[str, Any]] = []
+    for algo in algorithms:
+        split_dir = resolve_split_dir(root, task, algo, split, use_split_tasks_dirs)
+        path_glob = os.path.join(split_dir, "*.json")
+        algo_seed = seed + stable_hash(algo) % 10000
+        all_examples.extend(load_examples(
+            path_glob, task=task, seed=algo_seed,
+            num_graphs=num_graphs, num_pairs_per_graph=num_pairs_per_graph))
+    return all_examples
+
+
+def load_graphs_multi_algorithm(
+    root: str,
+    task: str,
+    algorithms: Sequence[str],
+    split: str,
+    use_split_tasks_dirs: bool = True,
+    seed: int = 0,
+    num_graphs: Optional[int] = None,
+    num_pairs_per_graph: Optional[int] = None,
+) -> List[Graph]:
+    """Graph-native loading: parse each text record back into a ``Graph``
+    (the reference does this in two near-identical PyG adapters,
+    graph_token_dataset_{nativegraph,autograph}.py; one code path here)."""
+    examples = load_examples_multi_algorithm(
+        root, task, algorithms, split, use_split_tasks_dirs, seed,
+        num_graphs, num_pairs_per_graph)
+    graphs: List[Graph] = []
+    for ex in examples:
+        if ex.get("label") is None:
+            continue
+        g = text_record_to_graph(ex["text"], task=task, label=ex.get("label"))
+        if g is not None:
+            graphs.append(g)
+    return graphs
+
+
+def determine_num_classes(examples: List[Dict[str, Any]], task: str) -> int:
+    """cycle_check -> 2, zinc -> 1, shortest_path -> max label + 1
+    (reference: data_loader.py:636-686)."""
+    if task == "cycle_check":
+        return 2
+    if task == "zinc":
+        return 1
+    max_label = -1
+    for ex in examples:
+        lab = ex.get("label")
+        if isinstance(lab, (int, np.integer)):
+            max_label = max(max_label, int(lab))
+    return max_label + 1
+
+
+def balance_classes(examples: List[Dict[str, Any]], strategy: str = "undersample",
+                    seed: int = 0) -> List[Dict[str, Any]]:
+    """Class balancing (reference: data_loader.py:248-334)."""
+    by_label: Dict[Any, List[Dict[str, Any]]] = {}
+    for ex in examples:
+        lab = ex.get("label")
+        if lab is not None:
+            by_label.setdefault(lab, []).append(ex)
+    if not by_label:
+        return examples
+    sizes = [len(v) for v in by_label.values()]
+    if strategy == "undersample":
+        target = min(sizes)
+    elif strategy == "median":
+        target = int(np.median(sizes))
+    elif strategy == "oversample":
+        target = max(sizes)
+    elif strategy == "soft_oversample":
+        target = int(np.mean(sizes))
+    else:
+        raise ValueError(f"unknown balancing strategy: {strategy}")
+    rng = random.Random(seed)
+    balanced: List[Dict[str, Any]] = []
+    for lab in sorted(by_label, key=lambda x: (str(type(x)), x)):
+        exs = by_label[lab]
+        if len(exs) > target:
+            balanced.extend(rng.sample(exs, target))
+        elif len(exs) < target:
+            balanced.extend(exs)
+            balanced.extend(rng.choices(exs, k=target - len(exs)))
+        else:
+            balanced.extend(exs)
+    rng.shuffle(balanced)
+    return balanced

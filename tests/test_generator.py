@@ -1,0 +1,129 @@
+"""Generator + grammar tests (the reference's test/graph_seq_test.py and
+test/train_performance_test.py ideas as real pytest: representation
+consistency, oracle-label verification, determinism, distribution sanity)."""
+
+import numpy as np
+import pytest
+
+from glearning_benchmark_tpu.data import generator as G
+from glearning_benchmark_tpu.data.graphs import Graph
+from glearning_benchmark_tpu.data.text_grammar import (
+    parse_distance_label_from_text,
+    parse_graph_from_text,
+    parse_query_nodes_from_text,
+    parse_yes_no_from_text,
+    text_record_to_graph,
+)
+
+
+@pytest.mark.parametrize("algo", G.ALGORITHMS)
+def test_roundtrip_text(algo):
+    for seed in range(5):
+        g = G.generate_graph(algo, seed)
+        text = G.cycle_check_records(g)[0]["text"]
+        nodes, edges = parse_graph_from_text(text)
+        assert nodes == list(range(g.num_nodes))
+        assert len(edges) == g.num_edges
+        got = {tuple(sorted(e)) for e in edges}
+        want = {tuple(sorted(map(int, e))) for e in g.edges}
+        assert got == want
+
+
+@pytest.mark.parametrize("algo", G.ALGORITHMS)
+def test_determinism(algo):
+    a = G.generate_graph(algo, 123)
+    b = G.generate_graph(algo, 123)
+    assert a.num_nodes == b.num_nodes
+    assert np.array_equal(a.edges, b.edges)
+
+
+def test_cycle_oracle_dfs_independent():
+    """Union-find oracle agrees with an independent DFS cycle check
+    (the reference verifies labels against a DFS oracle,
+    test/train_performance_test.py:27-67)."""
+    def dfs_has_cycle(g: Graph) -> bool:
+        adj = [[] for _ in range(g.num_nodes)]
+        for i, (u, v) in enumerate(g.edges):
+            adj[int(u)].append((int(v), i))
+            adj[int(v)].append((int(u), i))
+        seen = [False] * g.num_nodes
+        for s in range(g.num_nodes):
+            if seen[s]:
+                continue
+            stack = [(s, -1)]
+            seen[s] = True
+            while stack:
+                node, via = stack.pop()
+                for nb, ei in adj[node]:
+                    if ei == via:
+                        continue
+                    if seen[nb]:
+                        return True
+                    seen[nb] = True
+                    stack.append((nb, ei))
+        return False
+
+    for algo in G.ALGORITHMS:
+        for seed in range(8):
+            g = G.generate_graph(algo, seed)
+            assert G.has_cycle(g) == dfs_has_cycle(g), (algo, seed)
+
+
+def test_known_topologies():
+    path = Graph(edges=np.array([[0, 1], [1, 2], [2, 3]], dtype=np.int32), num_nodes=4, y=0)
+    cyc = Graph(edges=np.array([[0, 1], [1, 2], [2, 0]], dtype=np.int32), num_nodes=3, y=0)
+    assert not G.has_cycle(path)
+    assert G.has_cycle(cyc)
+    d = G.all_pairs_distances(path)
+    assert d[0, 3] == 3 and d[1, 3] == 2
+
+
+def test_shortest_path_records():
+    g = G.generate_graph("path", 0)
+    recs = G.shortest_path_records(g)
+    assert len(recs) == g.num_nodes * (g.num_nodes - 1) // 2
+    # path graph: distance between i and j is |i-j|; > 7 becomes INF
+    for r in recs[:50]:
+        t = r["text"]
+        q = parse_query_nodes_from_text(t)
+        lab = parse_distance_label_from_text(t)
+        assert q is not None
+        u, v = q
+        true = abs(u - v)
+        if true > G.MAX_PATH_CLASSES:
+            assert lab is None
+        else:
+            assert lab == true - 1  # 0-indexed
+
+
+def test_label_parsers():
+    assert parse_yes_no_from_text("<bos> 0 1 <e> <q> has_cycle <p> yes <eos>") == 1
+    assert parse_yes_no_from_text("<p> no <eos>") == 0
+    assert parse_distance_label_from_text("<p> len3 <eos>") == 2
+    assert parse_distance_label_from_text("<p> INF <eos>") is None
+    assert parse_query_nodes_from_text("<q> shortest_distance 4 7 <p> len1") == (4, 7)
+
+
+def test_cycle_label_mix():
+    """ba+sbm training mix must contain both labels (test data-sanity idea
+    from the reference's train_performance_test)."""
+    labels = []
+    for algo in ("ba", "sbm", "er"):
+        for seed in range(30):
+            labels.append(G.has_cycle(G.generate_graph(algo, seed)))
+    frac = np.mean(labels)
+    assert 0.1 < frac < 0.98, f"degenerate cycle label distribution: {frac}"
+
+
+def test_text_record_to_graph_query():
+    g = G.generate_graph("er", 3)
+    recs = G.shortest_path_records(g)
+    found = 0
+    for r in recs:
+        gg = text_record_to_graph(r["text"], task="shortest_path")
+        if gg is None:
+            continue  # INF pair dropped
+        assert gg.query_u is not None
+        assert gg.num_nodes == g.num_nodes
+        found += 1
+    assert found > 0
