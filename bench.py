@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""North-star benchmark: byte-exact ZINC IBTT tokenization throughput.
+
+Per BASELINE.json the headline metric is graphs/s/chip for byte-exact ZINC
+index-based tokenization (vocab build + encode + pack). The reference
+implementation is a per-molecule Python string pipeline
+(zinc_dataset_indexbase.tokenize_molecule -> TokenDataset per-token dict
+lookups, re-run per epoch); our production path tokenizes the whole corpus
+once through vectorized table lookups (tokenize_zinc_corpus_ids), verified
+byte-identical to the string path in tests/test_tokenization.py.
+
+Prints ONE JSON line:
+  {"metric": "zinc_tokenize_graphs_per_sec", "value": N, "unit": "graphs/s",
+   "vs_baseline": speedup_over_reference_algorithm}
+
+`vs_baseline` is measured fresh each run: the same corpus pushed through a
+faithful re-implementation of the reference's per-token Python path on this
+host (the reference repo publishes no throughput numbers — SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _reference_style_pipeline(mols, vocab, max_len):
+    """The reference algorithm: per-molecule string build + per-token dict
+    encode with label strip (zinc_dataset_indexbase.py:143-195 +
+    data_loader.py:465-486 semantics)."""
+    from glearning_benchmark_tpu.tokenization.ibtt import tokenize_zinc_molecule
+
+    pad = vocab["<pad>"]
+    out = []
+    for m in mols:
+        text = tokenize_zinc_molecule(m, max_len=max_len)
+        toks = text.split()
+        if "<p>" in toks:
+            toks = toks[: toks.index("<p>") + 1]
+        out.append([vocab.get(t, pad) for t in toks][:max_len])
+    return out
+
+
+def main() -> None:
+    from glearning_benchmark_tpu.data.zinc import load_zinc_split
+    from glearning_benchmark_tpu.tokenization.ibtt import (
+        tokenize_zinc_corpus_ids,
+        tokenize_zinc_molecule,
+    )
+    from glearning_benchmark_tpu.tokenization.pack import pack_corpus
+    from glearning_benchmark_tpu.tokenization.vocab import (
+        build_fixed_zinc_vocab,
+        collect_dynamic_tokens,
+        extend_vocab_with_dynamic_tokens,
+    )
+
+    from glearning_benchmark_tpu.tokenization.ibtt_fast import (
+        build_zinc_vocab_fast,
+        corpus_ids_vectorized,
+        flatten_zinc_corpus,
+    )
+
+    max_len = 1024
+    mols = load_zinc_split(split="train")
+    n = len(mols)
+
+    # production path: flatten + vocab build + encode + pack, all measured
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        flat = flatten_zinc_corpus(mols)
+        vocab = build_zinc_vocab_fast(mols)
+        ids, lens = corpus_ids_vectorized(mols, vocab, max_len=max_len, flat=flat)
+        packed, mask = pack_corpus(ids, lens, pad_id=vocab["<pad>"])
+    t_fast = (time.perf_counter() - t0) / reps
+    graphs_per_sec = n / t_fast
+
+    # vocab-build bytes/s (text bytes the string-path scan would process)
+    t0 = time.perf_counter()
+    texts_for_vocab = [tokenize_zinc_molecule(m, max_len=max_len) for m in mols]
+    fixed, _ = build_fixed_zinc_vocab()
+    vocab_str = extend_vocab_with_dynamic_tokens(
+        fixed, collect_dynamic_tokens(texts_for_vocab, fixed))
+    t_vocab = time.perf_counter() - t0
+    assert vocab_str == vocab, "fast vocab diverged from string-path vocab"
+    vocab_bytes = sum(len(t) for t in texts_for_vocab)
+
+    # reference-style baseline on a subsample (it is slow), extrapolated
+    sub = mols[: min(2000, n)]
+    t0 = time.perf_counter()
+    ref_out = _reference_style_pipeline(sub, vocab, max_len)
+    t_ref = (time.perf_counter() - t0) * (n / len(sub))
+    ref_graphs_per_sec = n / t_ref
+
+    # sanity: byte-exact vs the reference algorithm's output
+    for i in range(0, len(sub), 500):
+        assert ids[i, : lens[i]].tolist() == ref_out[i], "byte-exactness violated"
+
+    print(f"[bench] n={n} vocab={len(vocab)} string_vocab_scan={t_vocab:.3f}s "
+          f"({vocab_bytes / t_vocab / 1e6:.1f} MB/s) "
+          f"fast={t_fast:.3f}s ref~{t_ref:.3f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "zinc_tokenize_graphs_per_sec",
+        "value": round(graphs_per_sec, 1),
+        "unit": "graphs/s",
+        "vs_baseline": round(graphs_per_sec / ref_graphs_per_sec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

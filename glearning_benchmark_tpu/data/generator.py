@@ -245,25 +245,39 @@ def all_pairs_distances(g: Graph) -> np.ndarray:
 # Task record emission
 # ---------------------------------------------------------------------------
 
-def cycle_check_records(g: Graph) -> List[dict]:
+def cycle_check_records(g: Graph, max_pairs: Optional[int] = None,
+                        seed: int = 0) -> List[dict]:
     label = "yes" if has_cycle(g) else "no"
     text = graph_to_text(g.edges, g.num_nodes, "has_cycle", label)
     return [{"text": text}]
 
 
-def shortest_path_records(g: Graph, max_classes: int = MAX_PATH_CLASSES) -> List[dict]:
+def shortest_path_records(g: Graph, max_classes: int = MAX_PATH_CLASSES,
+                          max_pairs: Optional[int] = None, seed: int = 0) -> List[dict]:
+    """All N(N-1)/2 query pairs per graph (reference docs/synthetic_data.md:
+    141-150), optionally subsampled at generation time (``max_pairs``) —
+    the reference configs only ever load 10 pairs/graph
+    (num_pairs_per_graph), so emitting every pair of a 50-node graph
+    (1225 records repeating the full serialization) wastes corpus bytes.
+    The graph-structure prefix is built once and shared across pairs."""
     dist = all_pairs_distances(g)
+    iu, iv = np.triu_indices(g.num_nodes, k=1)
+    if max_pairs is not None and iu.shape[0] > max_pairs:
+        rng = np.random.default_rng(seed)
+        sel = rng.choice(iu.shape[0], size=max_pairs, replace=False)
+        sel.sort()
+        iu, iv = iu[sel], iv[sel]
+    # shared prefix: '<bos> edges... <n> nodes...'
+    prefix_parts = ["<bos>"]
+    for a, b in np.asarray(g.edges).reshape(-1, 2):
+        prefix_parts.append(f"{int(a)} {int(b)} <e>")
+    prefix_parts.append("<n> " + " ".join(str(i) for i in range(g.num_nodes)))
+    prefix = " ".join(prefix_parts)
     recs = []
-    for u in range(g.num_nodes):
-        for v in range(u + 1, g.num_nodes):
-            d = int(dist[u, v])
-            if d <= 0 or d > max_classes:
-                label = "INF"
-            else:
-                label = f"len{d}"
-            text = graph_to_text(g.edges, g.num_nodes,
-                                 f"shortest_distance {u} {v}", label)
-            recs.append({"text": text})
+    for u, v in zip(iu.tolist(), iv.tolist()):
+        d = int(dist[u, v])
+        label = f"len{d}" if 0 < d <= max_classes else "INF"
+        recs.append({"text": f"{prefix} <q> shortest_distance {u} {v} <p> {label} <eos>"})
     return recs
 
 
@@ -288,13 +302,15 @@ def generate_corpus(
     seed: int = 1234,
     min_sparsity: float = 0.1,
     max_sparsity: float = 0.2,
+    max_pairs_per_graph: Optional[int] = 64,
 ) -> None:
     """Write a graph-token-layout JSON corpus under ``root``.
 
     Train graphs go to tasks_train/<task>/<algo>/train; a disjoint set of
     test graphs goes to tasks_test/<task>/<algo>/{val,test}. Graphs are
     shared across tasks per (algo, split, index), like graph-token which
-    generates graphs first and derives tasks from them.
+    generates graphs first and derives tasks from them. Already-generated
+    (task, algo) directories are left untouched (incremental).
     """
     test_graphs = test_graphs if test_graphs is not None else max(50, number_of_graphs // 5)
     split_plan = [
@@ -303,26 +319,33 @@ def generate_corpus(
         ("test", "tasks_test", "test", test_graphs, 20_000_000),
     ]
     for algo in algorithms:
-        for split, top, sub, count, idx_offset in split_plan:
-            graphs = [
-                generate_graph(algo, graph_seed(seed, algo, split, idx_offset + i),
-                               min_sparsity, max_sparsity)
-                for i in range(count)
-            ]
-            for task in tasks:
-                emit = _TASK_EMITTERS[task]
+        graphs_cache: dict = {}
+        for task in tasks:
+            emit = _TASK_EMITTERS[task]
+            for split, top, sub, count, idx_offset in split_plan:
                 out_dir = os.path.join(root, top, task, algo, sub)
+                done = os.path.join(out_dir, ".complete")
+                if os.path.isfile(done):
+                    continue
+                if split not in graphs_cache:
+                    graphs_cache[split] = [
+                        generate_graph(algo, graph_seed(seed, algo, split, idx_offset + i),
+                                       min_sparsity, max_sparsity)
+                        for i in range(count)
+                    ]
                 os.makedirs(out_dir, exist_ok=True)
-                for i, g in enumerate(graphs):
-                    recs = emit(g)
+                for i, g in enumerate(graphs_cache[split]):
+                    recs = emit(g, max_pairs=max_pairs_per_graph,
+                                seed=graph_seed(seed + 1, algo, split, i))
                     path = os.path.join(out_dir, f"graph_{i:05d}.json")
                     with open(path, "w") as f:
                         json.dump(recs, f)
+                with open(done, "w") as f:
+                    f.write("ok\n")
 
 
-def ensure_corpus(root: str, **kwargs) -> str:
-    """Generate the corpus under ``root`` if it does not already exist."""
-    marker = os.path.join(root, "tasks_train")
-    if not os.path.isdir(marker):
-        generate_corpus(root, **kwargs)
+def ensure_corpus(root: str, tasks: Sequence[str] = ("cycle_check", "shortest_path"),
+                  algorithms: Sequence[str] = ALGORITHMS, **kwargs) -> str:
+    """Generate any missing (task, algo) corpus directories under ``root``."""
+    generate_corpus(root, tasks=tasks, algorithms=algorithms, **kwargs)
     return root

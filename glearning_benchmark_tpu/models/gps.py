@@ -1,0 +1,94 @@
+"""GPS: hybrid local-MPNN + global-attention graph transformer.
+
+GraphGym-free reproduction of the GPS layer the reference drives through
+GraphGPS registration (trainer/train_ggps.py:24,407; architecture documented
+in reference docs/models/ggps.md:58-200; config gt.layer_type
+'GIN+Transformer', configs/gps_graph_token.yaml:38-62):
+
+    h  = h + LocalGIN(h, A)          (residual, then BatchNorm)
+    h  = h + GlobalAttn(h, mask)     (residual, then BatchNorm)
+    h  = h + FFN(h)                  (residual, then BatchNorm)
+
+Global attention is full self-attention over the node axis of each graph —
+on dense padded batches this is exactly masked MHA, no per-graph unbatching
+(the reference materializes per-graph dense tensors inside GraphGPS).
+Pooling and post-MP head follow gnn.head='graph', layers_post_mp=1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+from ..ops.segment import masked_mean, masked_sum, masked_max
+from .mpnn import GINLayer, MaskedBatchNorm
+
+
+class GPSLayer(nn.Module):
+    dim: int
+    n_heads: int = 4
+    dropout: float = 0.0
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, h, adj, mask, deterministic: bool):
+        b, n, d = h.shape
+        # local MPNN block (GIN)
+        local = GINLayer(self.dim, self.dropout, name="local_gin")(
+            h, adj, mask, deterministic)
+        local = nn.Dropout(self.dropout, deterministic=deterministic)(local)
+        h = h + local
+        h = MaskedBatchNorm(name="bn_local")(h, mask, use_running_average=deterministic)
+
+        # global attention block
+        hd = d // self.n_heads
+        q = nn.Dense(d, name="q")(h).reshape(b, n, self.n_heads, hd)
+        k = nn.Dense(d, name="k")(h).reshape(b, n, self.n_heads, hd)
+        v = nn.Dense(d, name="v")(h).reshape(b, n, self.n_heads, hd)
+        attn = multi_head_attention(q, k, v, key_mask=mask).reshape(b, n, d)
+        attn = nn.Dense(d, name="attn_out")(attn)
+        attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+        h = h + attn
+        h = MaskedBatchNorm(name="bn_attn")(h, mask, use_running_average=deterministic)
+
+        # feed-forward block (GraphGPS uses 2x expansion)
+        y = nn.Dense(2 * d, name="ff1")(h)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        y = nn.Dense(d, name="ff2")(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        h = h + y
+        h = MaskedBatchNorm(name="bn_ff")(h, mask, use_running_average=deterministic)
+        return h
+
+
+class GPSModel(nn.Module):
+    in_dim: int = 1
+    dim: int = 32
+    num_layers: int = 4
+    n_heads: int = 4
+    dropout: float = 0.0
+    attn_dropout: float = 0.1
+    pooling: str = "mean"
+    num_classes: int = 2
+    task: str = "cycle_check"
+
+    @nn.compact
+    def __call__(self, node_feat, adj, mask, deterministic: bool = True):
+        h = nn.Dense(self.dim, name="node_encoder")(node_feat)
+        for i in range(self.num_layers):
+            h = GPSLayer(self.dim, self.n_heads, self.dropout, self.attn_dropout,
+                         name=f"gps_{i}")(h, adj, mask, deterministic)
+        h = h * mask[..., None].astype(h.dtype)
+        if self.pooling == "mean":
+            g = masked_mean(h, mask)
+        elif self.pooling == "add":
+            g = masked_sum(h, mask)
+        else:
+            g = masked_max(h, mask)
+        out = nn.Dense(1 if self.task == "zinc" else self.num_classes,
+                       name="post_mp")(g)
+        if self.task == "zinc":
+            return out.squeeze(-1)
+        return out

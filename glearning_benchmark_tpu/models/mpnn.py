@@ -1,0 +1,108 @@
+"""GIN message-passing network on dense padded graph batches.
+
+Re-designs the reference MPNN (trainer/train_mpnn.py:17-95: PyG ``GINConv``
+with train_eps, per-layer BatchNorm+ReLU, mean/add/max pooling, task head)
+for TPU: instead of scatter/gather over a block-diagonal sparse batch, the
+neighbor aggregation is a batched dense matmul ``A @ H`` ([B,N,N]x[B,N,F])
+that runs on the MXU — graphs in this benchmark have N <= ~64, where dense
+adjacency beats any sparse format on TPU by a wide margin.
+
+GIN update: h' = MLP((1 + eps) * h + sum_{j in N(i)} h_j), eps learnable
+(train_eps=True). BatchNorm statistics are computed over *valid* nodes only
+(padded slots would skew them), with running averages for eval.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.segment import masked_max, masked_mean, masked_sum
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the flattened (batch, node) axis, masked to valid
+    nodes, with running statistics (torch momentum convention: 0.1)."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, use_running_average: bool):
+        # x: [B, N, F], mask: [B, N]
+        f = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(f))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(f))
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(x.dtype)[..., None]
+            n = jnp.clip(m.sum(), 1.0, None)
+            mean = (x * m).sum(axis=(0, 1)) / n
+            var = (((x - mean) ** 2) * m).sum(axis=(0, 1)) / n
+            if not self.is_initializing():
+                mom = self.momentum
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean
+                # torch tracks unbiased running var
+                unbiased = var * n / jnp.clip(n - 1.0, 1.0, None)
+                ra_var.value = (1 - mom) * ra_var.value + mom * unbiased
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class GINLayer(nn.Module):
+    """One GIN convolution: MLP((1+eps)h + A@h) with the reference's inner
+    MLP shape Linear->BN->ReLU->Dropout->Linear (train_mpnn.py:44-50)."""
+
+    hidden: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, h, adj, mask, deterministic: bool):
+        eps = self.param("eps", nn.initializers.zeros, ())
+        agg = (1.0 + eps) * h + jnp.einsum("bij,bjf->bif", adj, h)
+        y = nn.Dense(self.hidden, name="mlp1")(agg)
+        y = MaskedBatchNorm(name="mlp_bn")(y, mask, use_running_average=deterministic)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        y = nn.Dense(self.hidden, name="mlp2")(y)
+        return y
+
+
+class MPNN(nn.Module):
+    in_dim: int = 1
+    hidden_dim: int = 64
+    num_layers: int = 3
+    dropout: float = 0.0
+    pooling: str = "mean"
+    num_classes: int = 2
+    task: str = "cycle_check"
+
+    @nn.compact
+    def __call__(self, node_feat, adj, mask, deterministic: bool = True):
+        """node_feat [B,N,F], adj [B,N,N], mask [B,N] -> logits [B, C]."""
+        h = nn.Dense(self.hidden_dim, name="node_encoder")(node_feat)
+        for i in range(self.num_layers):
+            h = GINLayer(self.hidden_dim, self.dropout, name=f"conv_{i}")(
+                h, adj, mask, deterministic)
+            h = MaskedBatchNorm(name=f"bn_{i}")(h, mask, use_running_average=deterministic)
+            h = nn.relu(h)
+        # zero padded slots before pooling (BN shifts them off zero)
+        h = h * mask[..., None].astype(h.dtype)
+        if self.pooling == "mean":
+            g = masked_mean(h, mask)
+        elif self.pooling == "add":
+            g = masked_sum(h, mask)
+        elif self.pooling == "max":
+            g = masked_max(h, mask)
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+        out = nn.Dense(1 if self.task == "zinc" else self.num_classes,
+                       name="output_head")(g)
+        if self.task == "zinc":
+            return out.squeeze(-1)
+        return out

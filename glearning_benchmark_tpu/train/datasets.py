@@ -1,0 +1,286 @@
+"""Dataset assembly: configs -> fixed-shape device-ready arrays.
+
+One tokenize/parse pass per split at startup (the reference re-runs Python
+tokenization per batch per epoch for AGTT, trainer/train_agtt.py:246-273,
+and per-sample dict lookups for IBTT). Every split becomes a dict of
+static-shape numpy arrays that is moved to device once; epochs are index
+gathers inside jit.
+
+Array layouts:
+  token splits:  ids [N, L] i32, mask [N, L] bool, y [N] i32/f32
+  graph splits:  node_feat [N, Nmax, F] f32, adj [N, Nmax, Nmax] f32,
+                 mask [N, Nmax] bool, y [N]
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..data.generator import ensure_corpus
+from ..data.graphs import Graph, batch_graphs
+from ..data.loader import (
+    determine_num_classes,
+    load_examples_multi_algorithm,
+    load_graphs_multi_algorithm,
+)
+from ..data.zinc import ZINC_NUM_ATOM_TYPES, ZINC_NUM_BOND_TYPES, load_zinc_split
+from ..tokenization.ibtt import encode_texts, tokenize_zinc_molecule
+from ..tokenization.pack import pack_corpus, pad_sequences, round_up_to_bucket
+from ..tokenization.sent import TrailTokenizer
+from ..tokenization.vocab import (
+    build_fixed_zinc_vocab,
+    build_vocab_from_texts,
+    collect_dynamic_tokens,
+    extend_vocab_with_dynamic_tokens,
+)
+
+SPLITS = ("train", "val", "test")
+
+
+@dataclass
+class DatasetBundle:
+    task: str
+    kind: str                      # 'tokens' | 'graphs'
+    splits: Dict[str, Dict[str, np.ndarray]]
+    num_classes: int
+    vocab: Optional[dict] = None
+    vocab_size: int = 0
+    q_token_id: Optional[int] = None
+    in_dim: int = 1
+    meta: dict = field(default_factory=dict)
+
+    def n(self, split: str) -> int:
+        return len(self.splits[split]["y"])
+
+
+def _resolve_corpus_root(dataset_cfg: dict, seed: int) -> str:
+    root = dataset_cfg.get("graph_token_root", "graph-token")
+    n = int(dataset_cfg.get("generate_num_graphs", 500))
+    algos = list(dict.fromkeys(
+        list(dataset_cfg.get("train_algorithms", [])) +
+        [dataset_cfg.get("test_algorithm", "sfn")]))
+    ensure_corpus(root, tasks=(dataset_cfg["task"],), algorithms=algos,
+                  number_of_graphs=n, seed=1234)
+    return root
+
+
+def _load_synthetic_examples(dataset_cfg: dict, seed: int):
+    root = _resolve_corpus_root(dataset_cfg, seed)
+    task = dataset_cfg["task"]
+    algos = dataset_cfg["train_algorithms"]
+    test_algo = dataset_cfg["test_algorithm"]
+    kw = dict(
+        use_split_tasks_dirs=dataset_cfg.get("use_split_tasks_dirs", True),
+        seed=seed,
+        num_graphs=dataset_cfg.get("num_graphs"),
+        num_pairs_per_graph=dataset_cfg.get("num_pairs_per_graph"),
+    )
+    return {
+        "train": load_examples_multi_algorithm(root, task, algos, "train", **kw),
+        "val": load_examples_multi_algorithm(root, task, algos, "val", **kw),
+        "test": load_examples_multi_algorithm(root, task, [test_algo], "test", **kw),
+    }
+
+
+def _load_synthetic_graphs(dataset_cfg: dict, seed: int):
+    root = _resolve_corpus_root(dataset_cfg, seed)
+    task = dataset_cfg["task"]
+    algos = dataset_cfg["train_algorithms"]
+    test_algo = dataset_cfg["test_algorithm"]
+    kw = dict(
+        use_split_tasks_dirs=dataset_cfg.get("use_split_tasks_dirs", True),
+        seed=seed,
+        num_graphs=dataset_cfg.get("num_graphs"),
+        num_pairs_per_graph=dataset_cfg.get("num_pairs_per_graph"),
+    )
+    return {
+        "train": load_graphs_multi_algorithm(root, task, algos, "train", **kw),
+        "val": load_graphs_multi_algorithm(root, task, algos, "val", **kw),
+        "test": load_graphs_multi_algorithm(root, task, [test_algo], "test", **kw),
+    }
+
+
+def _drop_unlabeled(examples):
+    return [e for e in examples if e.get("label") is not None]
+
+
+# ---------------------------------------------------------------------------
+# IBTT (token) datasets
+# ---------------------------------------------------------------------------
+
+def build_ibtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None) -> DatasetBundle:
+    task = dataset_cfg["task"]
+    max_len = int(dataset_cfg.get("max_len", 600))
+
+    if task == "zinc":
+        mols = {s: load_zinc_split(dataset_cfg.get("zinc_root", "./data/ZINC"), s,
+                                   subset=dataset_cfg.get("subset", True), limit=limit)
+                for s in SPLITS}
+        texts = {s: [tokenize_zinc_molecule(m, max_len=max_len) for m in mols[s]]
+                 for s in SPLITS}
+        labels = {s: np.array([m.y for m in mols[s]], dtype=np.float32) for s in SPLITS}
+        # fixed vocab + dynamic tokens over all splits (reference
+        # train_ibtt.py:363-372 scans train+val+test), pinned order
+        fixed, _ = build_fixed_zinc_vocab()
+        dyn = collect_dynamic_tokens(
+            (t for s in SPLITS for t in texts[s]), fixed)
+        vocab = extend_vocab_with_dynamic_tokens(fixed, dyn)
+        num_classes = 1
+    else:
+        ex = _load_synthetic_examples(dataset_cfg, seed)
+        ex = {s: _drop_unlabeled(v) for s, v in ex.items()}
+        if limit:
+            ex = {s: v[:limit] for s, v in ex.items()}
+        texts = {s: [e["text"] for e in v] for s, v in ex.items()}
+        labels = {s: np.array([e["label"] for e in v], dtype=np.int32)
+                  for s, v in ex.items()}
+        vocab, _ = build_vocab_from_texts(
+            texts["train"], max_tokens=dataset_cfg.get("max_vocab"))
+        num_classes = determine_num_classes(
+            [e for v in ex.values() for e in v], task)
+
+    pad_id = vocab["<pad>"]
+    splits = {}
+    global_bucket = 0
+    packed = {}
+    for s in SPLITS:
+        ids, lens = encode_texts(texts[s], vocab, max_len=max_len)
+        packed[s] = (ids, lens)
+        global_bucket = max(global_bucket, round_up_to_bucket(ids.shape[1] if ids.size else 1))
+    for s in SPLITS:
+        ids, lens = packed[s]
+        n, l = ids.shape if ids.size else (0, 0)
+        out = np.full((n, global_bucket), pad_id, dtype=np.int32)
+        if ids.size:
+            out[:, :l] = ids
+        mask = np.arange(global_bucket)[None, :] < lens[:, None]
+        splits[s] = {"ids": out, "mask": mask, "y": labels[s]}
+
+    q_id = vocab.get("<q>") if task == "shortest_path" else None
+    return DatasetBundle(task=task, kind="tokens", splits=splits,
+                         num_classes=num_classes, vocab=vocab,
+                         vocab_size=len(vocab), q_token_id=q_id,
+                         meta={"max_len": global_bucket, "pad_id": pad_id})
+
+
+# ---------------------------------------------------------------------------
+# AGTT (trail token) datasets
+# ---------------------------------------------------------------------------
+
+def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None) -> DatasetBundle:
+    task = dataset_cfg["task"]
+    max_len = int(dataset_cfg.get("max_len", 600))
+    is_zinc = task == "zinc"
+
+    if is_zinc:
+        graphs = {s: load_zinc_split(dataset_cfg.get("zinc_root", "./data/ZINC"), s,
+                                     subset=dataset_cfg.get("subset", True), limit=limit)
+                  for s in SPLITS}
+    else:
+        graphs = _load_synthetic_graphs(dataset_cfg, seed)
+        if limit:
+            graphs = {s: v[:limit] for s, v in graphs.items()}
+
+    tok = TrailTokenizer(max_length=max_len, truncation_length=max_len,
+                         labeled_graph=is_zinc, undirected=True)
+    max_nodes = max(g.num_nodes for g in graphs["train"])
+    tok.set_num_nodes(max_nodes)
+    if is_zinc:
+        tok.set_num_node_and_edge_types(ZINC_NUM_ATOM_TYPES, ZINC_NUM_BOND_TYPES)
+        fixed, _ = build_fixed_zinc_vocab()
+        # fixed vocab size + node positions remapped to 22+ (train_agtt.py:561)
+        vocab_size = len(fixed) + max_nodes + 100
+        pad_id = fixed["<pad>"]
+        bos_like = fixed["<bos>"]
+    else:
+        vocab_size = tok.idx_offset + max_nodes + 1  # +1 for '<q>' (train_agtt.py:586)
+        pad_id = TrailTokenizer.pad
+        bos_like = 0  # SOS
+        fixed = None
+
+    splits = {}
+    seqs_by_split = {}
+    for s in SPLITS:
+        seqs = []
+        for g in graphs[s]:
+            # clamp: eval graphs can exceed the train max (OOD algorithms);
+            # node positions past max_nodes would alias the '<q>' id, so skip
+            if g.num_nodes > max_nodes:
+                continue
+            t = tok(g)
+            if is_zinc:
+                t = tok.remap_zinc_tokens(t, fixed)
+            if task == "shortest_path" and g.query_u is not None:
+                t = tok.append_query(t, g.query_u, g.query_v)
+            seqs.append((t, g.y))
+        seqs_by_split[s] = seqs
+
+    bucket = 0
+    for s in SPLITS:
+        m = max((len(t) for t, _ in seqs_by_split[s]), default=1)
+        bucket = max(bucket, round_up_to_bucket(min(m, max_len + 3)))
+    for s in SPLITS:
+        seqs = [t for t, _ in seqs_by_split[s]]
+        ys = [y for _, y in seqs_by_split[s]]
+        ids, mask = pad_sequences(seqs, pad_id=pad_id, max_len=bucket)
+        n, l = ids.shape
+        out = np.full((n, bucket), pad_id, dtype=np.int32)
+        outm = np.zeros((n, bucket), dtype=bool)
+        out[:, :l] = ids
+        outm[:, :l] = mask
+        y = np.array(ys, dtype=np.float32 if is_zinc else np.int32)
+        splits[s] = {"ids": out, "mask": outm, "y": y}
+
+    all_ex = [{"label": int(y)} for s in SPLITS for _, y in seqs_by_split[s]] \
+        if not is_zinc else []
+    num_classes = 1 if is_zinc else determine_num_classes(all_ex, task)
+    q_id = tok.query_token_id if task == "shortest_path" else None
+    return DatasetBundle(task=task, kind="tokens", splits=splits,
+                         num_classes=num_classes, vocab=None,
+                         vocab_size=vocab_size, q_token_id=q_id,
+                         meta={"max_len": bucket, "pad_id": pad_id,
+                               "idx_offset": tok.idx_offset,
+                               "bos_id": bos_like, "max_nodes": max_nodes})
+
+
+# ---------------------------------------------------------------------------
+# Graph-native datasets (MPNN / GPS)
+# ---------------------------------------------------------------------------
+
+def build_graph_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None) -> DatasetBundle:
+    task = dataset_cfg["task"]
+    is_zinc = task == "zinc"
+    if is_zinc:
+        graphs = {s: load_zinc_split(dataset_cfg.get("zinc_root", "./data/ZINC"), s,
+                                     subset=dataset_cfg.get("subset", True), limit=limit)
+                  for s in SPLITS}
+    else:
+        graphs = _load_synthetic_graphs(dataset_cfg, seed)
+        if limit:
+            graphs = {s: v[:limit] for s, v in graphs.items()}
+
+    n_max = max(g.num_nodes for s in SPLITS for g in graphs[s])
+    query_encoding = task == "shortest_path"
+    node_feat_mode = "labels" if is_zinc else "const"
+    label_dtype = np.float32 if is_zinc else np.int32
+
+    splits = {}
+    for s in SPLITS:
+        gb = batch_graphs(graphs[s], n_max=n_max, node_feat_mode=node_feat_mode,
+                          query_encoding=query_encoding, label_dtype=label_dtype)
+        splits[s] = {"node_feat": gb.node_feat, "adj": gb.adj,
+                     "mask": gb.node_mask, "y": gb.y}
+
+    if is_zinc:
+        num_classes = 1
+    else:
+        all_ex = [{"label": int(g.y)} for s in SPLITS for g in graphs[s]]
+        num_classes = determine_num_classes(all_ex, task)
+    in_dim = splits["train"]["node_feat"].shape[-1]
+    return DatasetBundle(task=task, kind="graphs", splits=splits,
+                         num_classes=num_classes, in_dim=in_dim,
+                         meta={"n_max": n_max})

@@ -1,0 +1,483 @@
+"""The unified training engine (one engine, not four trainers).
+
+The reference duplicates a near-identical epoch loop across four trainer
+modules (trainer/train_{ibtt,agtt,mpnn,ggps}.py — SURVEY §2.7). Here one
+``train(config)`` drives all model families through task adapters.
+
+TPU-first structure:
+- datasets are assembled ONCE into fixed-shape arrays (train/datasets.py)
+  and moved to device once;
+- a whole epoch is a single jitted ``lax.scan`` over minibatch index
+  gathers — one dispatch per epoch instead of one per batch, no host sync
+  until the epoch's summed metric statistics come back;
+- metrics are device-side sufficient statistics (loss sums, confusion
+  matrices, error sums) reduced exactly; host-side formulas in
+  train/metrics.py produce the reference's logging schema;
+- under a multi-device mesh the batch axis is sharded over 'data' and XLA
+  inserts the gradient/metric all-reduces (parallel/mesh.py).
+
+Observable behavior kept from the reference: AdamW + global-norm clip 1.0
+(train_ibtt.py:149,434), task loss table (metrics.py:185-206: zinc->L1,
+else CE), best-checkpoint selection (max val acc / min val MAE) with reload
+before the OOD test pass (train_ibtt.py:557-582), per-epoch stdout lines and
+the W&B-schema log dict (train/loss, val/acc, throughput/graphs_per_sec,
+time/epoch_duration, memory/device_mb, ...), cosine-with-warmup for GPS
+(configs/gps_graph_token.yaml:63-69).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+from ..models.gps import GPSModel
+from ..models.mpnn import MPNN
+from ..models.transformer import SimpleTransformer
+from ..parallel.mesh import make_mesh, replicated_spec, shard_batch_spec
+from ..tokenization.vocab import SPECIAL
+from .checkpoint import load_checkpoint, save_checkpoint
+from .datasets import DatasetBundle, build_agtt_dataset, build_graph_dataset, build_ibtt_dataset
+from .metrics import classification_metrics_from_cm, format_confusion_matrix, regression_metrics_from_sums
+
+
+@dataclass
+class TrainResult:
+    best_val: float
+    test_metrics: Dict[str, Any]
+    history: List[Dict[str, Any]]
+    params: Any = None
+    bundle: Optional[DatasetBundle] = None
+
+
+# ---------------------------------------------------------------------------
+# model construction
+# ---------------------------------------------------------------------------
+
+def build_model(model_name: str, config: dict, bundle: DatasetBundle):
+    model_cfg = config.get("model", {})
+    task = bundle.task
+    use_query = task == "shortest_path"
+    if model_name in ("ibtt", "agtt"):
+        if model_name == "ibtt":
+            bos_id = SPECIAL.index("<bos>")
+            offsets = (2, 3)  # '<q> shortest_distance u v'
+        else:
+            bos_id = bundle.meta.get("bos_id", 0)
+            offsets = (1, 2)  # '<q> u v'
+        return SimpleTransformer(
+            vocab_size=bundle.vocab_size,
+            d_model=int(model_cfg.get("d_model", 32)),
+            nhead=int(model_cfg.get("nhead", 4)),
+            nlayers=int(model_cfg.get("nlayers", 4)),
+            d_ff=int(model_cfg.get("d_ff", 128)),
+            p_drop=float(model_cfg.get("dropout", 0.1)),
+            max_pos=max(int(model_cfg.get("max_pos", 600)), bundle.meta.get("max_len", 0)),
+            num_classes=bundle.num_classes,
+            use_query_nodes=use_query,
+            task=task,
+            bos_id=bos_id,
+            query_offsets=offsets,
+        )
+    if model_name == "mpnn":
+        return MPNN(
+            in_dim=bundle.in_dim,
+            hidden_dim=int(model_cfg.get("hidden_dim", 64)),
+            num_layers=int(model_cfg.get("num_layers", 5)),
+            dropout=float(model_cfg.get("dropout", 0.1)),
+            pooling=model_cfg.get("pooling", "mean"),
+            num_classes=bundle.num_classes,
+            task=task,
+        )
+    if model_name == "ggps":
+        gt = config.get("gt", {})
+        return GPSModel(
+            in_dim=bundle.in_dim,
+            dim=int(gt.get("dim_hidden", model_cfg.get("dim_hidden", 32))),
+            num_layers=int(gt.get("layers", model_cfg.get("num_layers", 4))),
+            n_heads=int(gt.get("n_heads", model_cfg.get("n_heads", 4))),
+            dropout=float(gt.get("dropout", 0.0)),
+            attn_dropout=float(gt.get("attn_dropout", 0.1)),
+            pooling=config.get("model", {}).get("graph_pooling", "mean"),
+            num_classes=bundle.num_classes,
+            task=task,
+        )
+    raise ValueError(f"unknown model {model_name!r}")
+
+
+def build_dataset(model_name: str, dataset_cfg: dict, seed: int,
+                  limit: Optional[int] = None) -> DatasetBundle:
+    if model_name == "ibtt":
+        return build_ibtt_dataset(dataset_cfg, seed, limit=limit)
+    if model_name == "agtt":
+        return build_agtt_dataset(dataset_cfg, seed, limit=limit)
+    if model_name in ("mpnn", "ggps"):
+        return build_graph_dataset(dataset_cfg, seed, limit=limit)
+    raise ValueError(f"unknown model {model_name!r}")
+
+
+# ---------------------------------------------------------------------------
+# jitted epoch machinery
+# ---------------------------------------------------------------------------
+
+def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rng):
+    kwargs = {}
+    if train:
+        kwargs["rngs"] = {"dropout": rng}
+    mutable = ["batch_stats"] if "batch_stats" in variables else False
+    if bundle.kind == "tokens":
+        out = model.apply(variables, batch["ids"], batch["mask"],
+                          q_token_id=bundle.q_token_id,
+                          deterministic=not train, mutable=mutable, **kwargs)
+    else:
+        out = model.apply(variables, batch["node_feat"], batch["adj"], batch["mask"],
+                          deterministic=not train, mutable=mutable, **kwargs)
+    if mutable:
+        logits, updates = out
+        return logits, updates.get("batch_stats")
+    return out, None
+
+
+def _loss_and_stats(logits, y, valid, task: str, num_classes: int):
+    vf = valid.astype(jnp.float32)
+    count = vf.sum()
+    if task == "zinc":
+        err = logits - y
+        loss_vec = jnp.abs(err)  # L1 (reference metrics.py:196-198)
+        loss_sum = (loss_vec * vf).sum()
+        stats = {
+            "loss_sum": loss_sum,
+            "count": count,
+            "abs_sum": (jnp.abs(err) * vf).sum(),
+            "sq_sum": (err ** 2 * vf).sum(),
+        }
+        return loss_sum / jnp.clip(count, 1.0), stats
+    loss_vec = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    loss_sum = (loss_vec * vf).sum()
+    preds = jnp.argmax(logits, axis=-1)
+    lh = jax.nn.one_hot(y, num_classes, dtype=jnp.float32) * vf[:, None]
+    ph = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    cm = lh.T @ ph
+    stats = {"loss_sum": loss_sum, "count": count, "cm": cm}
+    return loss_sum / jnp.clip(count, 1.0), stats
+
+
+def _zero_stats(task: str, num_classes: int):
+    if task == "zinc":
+        return {"loss_sum": jnp.zeros(()), "count": jnp.zeros(()),
+                "abs_sum": jnp.zeros(()), "sq_sum": jnp.zeros(())}
+    return {"loss_sum": jnp.zeros(()), "count": jnp.zeros(()),
+            "cm": jnp.zeros((num_classes, num_classes))}
+
+
+def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int):
+    """Build jitted (train_epoch, eval_epoch) closures. Each runs a full
+    lax.scan over minibatch index gathers on device-resident split arrays."""
+
+    def gather(arrays, idx):
+        return {k: v[idx] for k, v in arrays.items() if k != "y"} | {"y": arrays["y"][idx]}
+
+    def train_epoch(params, batch_stats, opt_state, arrays, idx, valid, rng):
+        def step(carry, xs):
+            params, batch_stats, opt_state, rng = carry
+            bidx, bvalid = xs
+            rng, drop = jax.random.split(rng)
+            batch = gather(arrays, bidx)
+
+            def loss_fn(p):
+                variables = {"params": p}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
+                logits, new_stats = _apply_model(model, variables, batch, bundle, True, drop)
+                loss, stats = _loss_and_stats(logits, batch["y"], bvalid, task, num_classes)
+                return loss, (stats, new_stats)
+
+            (loss, (stats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if batch_stats is not None and new_bs is not None:
+                batch_stats = new_bs
+            return (params, batch_stats, opt_state, rng), stats
+
+        (params, batch_stats, opt_state, _), stats = jax.lax.scan(
+            step, (params, batch_stats, opt_state, rng), (idx, valid))
+        total = jax.tree.map(lambda s: s.sum(axis=0), stats)
+        return params, batch_stats, opt_state, total
+
+    def eval_epoch(params, batch_stats, arrays, idx, valid):
+        def step(carry, xs):
+            bidx, bvalid = xs
+            batch = gather(arrays, bidx)
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            logits, _ = _apply_model(model, variables, batch, bundle, False, None)
+            _, stats = _loss_and_stats(logits, batch["y"], bvalid, task, num_classes)
+            return carry, stats
+
+        _, stats = jax.lax.scan(step, None, (idx, valid))
+        return jax.tree.map(lambda s: s.sum(axis=0), stats)
+
+    return jax.jit(train_epoch, donate_argnums=(0, 1, 2)), jax.jit(eval_epoch)
+
+
+def make_batches(n: int, batch_size: int, rng: np.random.Generator | None):
+    """[nb, bs] index matrix + [nb, bs] validity mask (last batch padded)."""
+    idx = np.arange(n)
+    if rng is not None:
+        rng.shuffle(idx)
+    nb = max(1, (n + batch_size - 1) // batch_size)
+    padded = np.zeros(nb * batch_size, dtype=np.int32)
+    padded[:n] = idx
+    valid = np.zeros(nb * batch_size, dtype=bool)
+    valid[:n] = True
+    return padded.reshape(nb, batch_size), valid.reshape(nb, batch_size)
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+def _epoch_metrics(stats, task, num_classes):
+    stats = jax.tree.map(np.asarray, stats)
+    if task == "zinc":
+        return regression_metrics_from_sums(
+            float(stats["abs_sum"]), float(stats["sq_sum"]),
+            float(stats["loss_sum"]), float(stats["count"]))
+    return classification_metrics_from_cm(
+        stats["cm"], task, float(stats["loss_sum"]), float(stats["count"]))
+
+
+def _device_memory_mb() -> float:
+    try:
+        ms = jax.devices()[0].memory_stats()
+        return float(ms.get("bytes_in_use", 0)) / (1024 ** 2)
+    except Exception:
+        return 0.0
+
+
+class RunLogger:
+    """stdout + JSONL metrics log with the reference W&B key schema; uses
+    wandb when available and enabled."""
+
+    def __init__(self, out_dir: str, run_name: str, wandb_cfg: dict, config: dict):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, f"{run_name}_metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.wandb = None
+        if wandb_cfg.get("use"):
+            try:
+                import wandb  # noqa: PLC0415
+                self.wandb = wandb
+                wandb.init(project=wandb_cfg.get("project", "graph-token"),
+                           name=run_name, config=config)
+            except Exception:
+                self.wandb = None
+
+    def log(self, d: Dict[str, Any]):
+        clean = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                 for k, v in d.items()}
+        self._f.write(json.dumps(clean) + "\n")
+        self._f.flush()
+        if self.wandb:
+            self.wandb.log(d)
+
+    def finish(self):
+        self._f.close()
+        if self.wandb:
+            self.wandb.finish()
+
+
+def train(config: dict, model_name: str, limit: Optional[int] = None,
+          verbose: bool = True, mesh=None) -> TrainResult:
+    dataset_cfg = config["dataset"]
+    train_cfg = config.get("train", {})
+    output_cfg = config.get("output", {})
+    wandb_cfg = config.get("wandb", {"use": False})
+
+    seed = int(train_cfg.get("seed", 0))
+    epochs = int(train_cfg.get("epochs", 100))
+    batch_size = int(train_cfg.get("batch_size", 128))
+    lr = float(train_cfg.get("lr", 1e-3))
+    weight_decay = float(train_cfg.get("weight_decay", 1e-4))
+    task = dataset_cfg["task"]
+
+    bundle = build_dataset(model_name, dataset_cfg, seed, limit=limit)
+    n_train = bundle.n("train")
+    if n_train == 0:
+        raise RuntimeError("No training examples found. Did you run the task generator?")
+    num_classes = bundle.num_classes
+    model = build_model(model_name, config, bundle)
+
+    # steps/schedule
+    steps_per_epoch = max(1, (n_train + batch_size - 1) // batch_size)
+    sched_name = train_cfg.get("scheduler", "none")
+    if sched_name == "cosine_with_warmup":
+        warm = int(train_cfg.get("num_warmup_epochs", 5)) * steps_per_epoch
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warm, max(epochs * steps_per_epoch, warm + 1))
+    else:
+        schedule = lr
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+    # init
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    sample = {k: jnp.asarray(v[:2]) for k, v in bundle.splits["train"].items()}
+    if bundle.kind == "tokens":
+        variables = model.init(init_rng, sample["ids"], sample["mask"],
+                               q_token_id=bundle.q_token_id, deterministic=True)
+    else:
+        variables = model.init(init_rng, sample["node_feat"], sample["adj"],
+                               sample["mask"], deterministic=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    opt_state = tx.init(params)
+    num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    if verbose:
+        print(f"Model parameters: {num_params:,}")
+
+    # device-resident split arrays (single transfer), optionally sharded
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    dev_splits = {}
+    for s, arrays in bundle.splits.items():
+        dev_splits[s] = {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    train_ep, eval_ep = make_epoch_fns(model, bundle, tx, task, num_classes)
+
+    out_dir = output_cfg.get("out_dir", f"runs_{model_name}")
+    run_name = output_cfg.get("run_name", f"{model_name}-{task}")
+    logger = RunLogger(out_dir, run_name, wandb_cfg, config)
+    logger.log({"model/num_parameters": num_params})
+
+    better = (lambda a, b: a < b) if task == "zinc" else (lambda a, b: a > b)
+    best_val = float("inf") if task == "zinc" else -1.0
+    best_params = None
+    best_bs = None
+    history: List[Dict[str, Any]] = []
+    shuffle_rng = np.random.default_rng(seed)
+    t0 = time.time()
+    time_to_best = 0.0
+    initial_val_metric = 0.0
+
+    eval_batches = {s: make_batches(bundle.n(s), batch_size, None)
+                    for s in ("val", "test")}
+
+    for epoch in range(1, epochs + 1):
+        ep_start = time.time()
+        idx, valid = make_batches(n_train, batch_size, shuffle_rng)
+        rng, ep_rng = jax.random.split(rng)
+        params, batch_stats, opt_state, tr_stats = train_ep(
+            params, batch_stats, opt_state, dev_splits["train"],
+            jnp.asarray(idx), jnp.asarray(valid), ep_rng)
+        vidx, vvalid = eval_batches["val"]
+        va_stats = eval_ep(params, batch_stats, dev_splits["val"],
+                           jnp.asarray(vidx), jnp.asarray(vvalid))
+        tr = _epoch_metrics(tr_stats, task, num_classes)
+        va = _epoch_metrics(va_stats, task, num_classes)
+        dur = time.time() - ep_start
+
+        if task == "zinc":
+            tr_metric, va_metric, metric_name = tr["mae"], va["mae"], "mae"
+        else:
+            tr_metric, va_metric, metric_name = tr["accuracy"], va["accuracy"], "acc"
+
+        gps_throughput = n_train / dur if dur > 0 else 0.0
+        cur_lr = schedule(epoch * steps_per_epoch) if callable(schedule) else schedule
+        log = {
+            "epoch": epoch,
+            "train/loss": tr["loss"], "val/loss": va["loss"],
+            "lr": float(cur_lr),
+            "time/epoch_duration": dur,
+            "throughput/graphs_per_sec": gps_throughput,
+            "memory/device_mb": _device_memory_mb(),
+        }
+        if task == "zinc":
+            for k in ("mae", "mse", "rmse"):
+                log[f"train/{k}"] = tr[k]
+                log[f"val/{k}"] = va[k]
+        else:
+            log["train/acc"] = tr_metric
+            log["val/acc"] = va_metric
+            for side, m in (("train", tr), ("val", va)):
+                log[f"{side}/precision"] = m.get("precision", m.get("precision_macro", 0))
+                log[f"{side}/recall"] = m.get("recall", m.get("recall_macro", 0))
+                log[f"{side}/f1"] = m.get("f1", m.get("f1_macro", 0))
+            if task == "shortest_path":
+                for side, m in (("train", tr), ("val", va)):
+                    log[f"{side}/mse"] = m.get("mse", 0)
+                    log[f"{side}/mae"] = m.get("mae", 0)
+        gain = abs(va_metric - initial_val_metric)
+        elapsed = time.time() - t0
+        log["efficiency/time_per_metric_unit"] = elapsed / gain if gain > 0 else 0
+        logger.log(log)
+        history.append(log)
+        if verbose:
+            print(f"epoch {epoch:03d} | train {tr['loss']:.4f}/{metric_name}="
+                  f"{tr_metric:.4f} | val {va['loss']:.4f}/{metric_name}="
+                  f"{va_metric:.4f} | time {dur:.2f}s")
+
+        if better(va_metric, best_val):
+            best_val = va_metric
+            best_params = jax.tree.map(lambda x: np.asarray(x), params)
+            best_bs = jax.tree.map(lambda x: np.asarray(x), batch_stats) \
+                if batch_stats is not None else None
+            time_to_best = time.time() - t0
+            save_checkpoint(os.path.join(out_dir, f"best_{run_name}"),
+                            {"params": best_params, "batch_stats": best_bs,
+                             "epoch": epoch, "best_val": best_val,
+                             "config": config, "vocab": bundle.vocab})
+
+    total_time = time.time() - t0
+
+    # reload best, run OOD test (reference train_ibtt.py:579-614)
+    if best_params is not None:
+        params = jax.tree.map(jnp.asarray, best_params)
+        batch_stats = jax.tree.map(jnp.asarray, best_bs) if best_bs is not None else None
+    tidx, tvalid = eval_batches["test"]
+    te_stats = eval_ep(params, batch_stats, dev_splits["test"],
+                       jnp.asarray(tidx), jnp.asarray(tvalid))
+    te = _epoch_metrics(te_stats, task, num_classes)
+
+    if verbose:
+        print("\n" + "=" * 80 + "\nTEST RESULTS\n" + "=" * 80)
+        print(f"Loss: {te['loss']:.4f}")
+        if task == "zinc":
+            print(f"MAE: {te['mae']:.4f}\nMSE: {te['mse']:.4f}\nRMSE: {te['rmse']:.4f}")
+        else:
+            print(f"Accuracy: {te['accuracy']:.4f}")
+            if "confusion_matrix" in te:
+                print("\n" + format_confusion_matrix(te["confusion_matrix"], task))
+        print(f"\nTotal training time: {total_time:.2f}s")
+        print(f"Time to best validation: {time_to_best:.2f}s")
+
+    test_log = {"test/loss": te["loss"],
+                "time/total_train_time": total_time,
+                "time/time_to_best_val": time_to_best}
+    if task == "zinc":
+        test_log |= {f"test/{k}": te[k] for k in ("mae", "mse", "rmse")}
+    else:
+        test_log["test/acc"] = te["accuracy"]
+        test_log["test/precision"] = te.get("precision", te.get("precision_macro", 0))
+        test_log["test/recall"] = te.get("recall", te.get("recall_macro", 0))
+        test_log["test/f1"] = te.get("f1", te.get("f1_macro", 0))
+        if task == "shortest_path":
+            test_log["test/mse"] = te.get("mse", 0)
+            test_log["test/mae"] = te.get("mae", 0)
+    logger.log(test_log)
+    logger.finish()
+
+    return TrainResult(best_val=best_val, test_metrics=te, history=history,
+                       params=params, bundle=bundle)

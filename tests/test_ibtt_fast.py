@@ -1,0 +1,78 @@
+"""Vectorized ZINC pipeline conformance: byte-exact against the scalar path
+(which is itself byte-exact against the string grammar)."""
+
+import numpy as np
+
+from glearning_benchmark_tpu.data.zinc import load_zinc_split
+from glearning_benchmark_tpu.tokenization.ibtt import (
+    tokenize_zinc_corpus_ids,
+    tokenize_zinc_molecule,
+)
+from glearning_benchmark_tpu.tokenization.ibtt_fast import (
+    build_zinc_vocab_fast,
+    corpus_ids_vectorized,
+    flatten_zinc_corpus,
+)
+from glearning_benchmark_tpu.tokenization.vocab import (
+    build_fixed_zinc_vocab,
+    collect_dynamic_tokens,
+    extend_vocab_with_dynamic_tokens,
+)
+
+
+def _string_vocab(mols, max_len=1024):
+    fixed, _ = build_fixed_zinc_vocab()
+    texts = [tokenize_zinc_molecule(m, max_len=max_len) for m in mols]
+    return extend_vocab_with_dynamic_tokens(fixed, collect_dynamic_tokens(texts, fixed))
+
+
+def test_fast_vocab_matches_string_path():
+    mols = load_zinc_split(split="val", limit=200)
+    assert build_zinc_vocab_fast(mols) == _string_vocab(mols)
+
+
+def test_vectorized_ids_match_scalar():
+    mols = load_zinc_split(split="val", limit=200)
+    vocab = build_zinc_vocab_fast(mols)
+    ids_v, lens_v = corpus_ids_vectorized(mols, vocab, max_len=1024)
+    ids_s, lens_s = tokenize_zinc_corpus_ids(mols, vocab, max_len=1024)
+    assert np.array_equal(lens_v, lens_s)
+    l = ids_s.shape[1]
+    assert np.array_equal(ids_v[:, :l], ids_s)
+    assert (ids_v[:, l:] == vocab["<pad>"]).all()
+
+
+def test_vectorized_truncation_fallback():
+    mols = load_zinc_split(split="val", limit=64)
+    vocab = build_zinc_vocab_fast(mols)
+    for max_len in (40, 60, 120):
+        ids_v, lens_v = corpus_ids_vectorized(mols, vocab, max_len=max_len)
+        ids_s, lens_s = tokenize_zinc_corpus_ids(mols, vocab, max_len=max_len)
+        assert np.array_equal(lens_v, lens_s), max_len
+        l = ids_s.shape[1]
+        assert np.array_equal(ids_v[:, :l], ids_s), max_len
+
+
+def test_unsorted_edges_fall_back_exactly():
+    mols = list(load_zinc_split(split="val", limit=8))
+    # scramble one molecule's directed edge order (breaks the lexsort
+    # precondition) — result must still match the scalar path bit-for-bit
+    from glearning_benchmark_tpu.data.graphs import Graph
+    m = mols[3]
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(m.edges.shape[0])
+    mols[3] = Graph(edges=m.edges[perm], num_nodes=m.num_nodes, y=m.y,
+                    node_labels=m.node_labels, edge_labels=m.edge_labels[perm])
+    vocab = _string_vocab(mols)
+    ids_v, lens_v = corpus_ids_vectorized(mols, vocab, max_len=1024)
+    ids_s, lens_s = tokenize_zinc_corpus_ids(mols, vocab, max_len=1024)
+    assert np.array_equal(lens_v, lens_s)
+    assert np.array_equal(ids_v[:, : ids_s.shape[1]], ids_s)
+
+
+def test_flatten_offsets():
+    mols = load_zinc_split(split="val", limit=10)
+    flat = flatten_zinc_corpus(mols)
+    assert flat["node_off"][-1] == sum(m.num_nodes for m in mols)
+    assert flat["edge_off"][-1] == sum(m.edges.shape[0] for m in mols)
+    assert flat["atoms"].shape[0] == flat["node_off"][-1]
