@@ -1,0 +1,173 @@
+"""ctypes bindings to the native host tokenization core (native/gtok.cpp).
+
+Built lazily with ``make`` on first use; every entry point has a pure-Python
+fallback (the implementations in :mod:`..tokenization`), so the framework
+works without a compiler — the native path is a host-throughput optimization
+for SENT trail walks and corpus text encoding.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgtok.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.isfile(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.isfile(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gtok_vocab_create.restype = ctypes.c_void_p
+    lib.gtok_vocab_create.argtypes = [ctypes.c_char_p, i64p, ctypes.c_int32, i32p]
+    lib.gtok_vocab_free.argtypes = [ctypes.c_void_p]
+    lib.gtok_encode_texts.restype = ctypes.c_int32
+    lib.gtok_encode_texts.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p]
+    lib.gtok_sent_tokenize_batch.restype = ctypes.c_int32
+    lib.gtok_sent_tokenize_batch.argtypes = [
+        i32p, i32p, i32p, i64p, i32p, i32p, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+class NativeVocab:
+    """Native hash-map vocab handle."""
+
+    def __init__(self, vocab: Dict[str, int]):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        toks = list(vocab)
+        blob = "".join(toks).encode("utf-8")
+        offs = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum([len(t.encode("utf-8")) for t in toks], out=offs[1:])
+        ids = np.asarray([vocab[t] for t in toks], dtype=np.int32)
+        self._lib = lib
+        self._handle = lib.gtok_vocab_create(blob, _i64p(offs), len(toks), _i32p(ids))
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.gtok_vocab_free(self._handle)
+            self._handle = None
+
+
+def encode_texts_native(
+    texts: Sequence[str],
+    vocab: Dict[str, int] | NativeVocab,
+    max_len: int = 512,
+    strip_label: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native whole-corpus text encode; semantics of tokenization.ibtt.encode_text."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    nv = vocab if isinstance(vocab, NativeVocab) else NativeVocab(vocab)
+    pad_id = None
+    if isinstance(vocab, dict):
+        pad_id = vocab["<pad>"]
+    if pad_id is None:
+        raise ValueError("pass the vocab dict (need <pad> id)")
+    blob = "\n".join(texts).encode("utf-8")
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(t.encode("utf-8")) + 1 for t in texts], out=offs[1:])
+    offs[-1] -= 1  # no trailing separator
+    ids = np.empty((len(texts), max_len), dtype=np.int32)
+    lens = np.empty(len(texts), dtype=np.int32)
+    rc = lib.gtok_encode_texts(nv._handle, blob, _i64p(offs), len(texts),
+                               max_len, pad_id, int(strip_label),
+                               _i32p(ids), _i32p(lens))
+    if rc != 0:
+        raise RuntimeError(f"gtok_encode_texts failed: {rc}")
+    l = int(lens.max()) if len(texts) else 0
+    return ids[:, :l].copy(), lens
+
+
+def sent_tokenize_batch_native(
+    graphs,
+    idx_offset: int,
+    trunc_len: int,
+    labeled: bool = False,
+    node_idx_offset: int = 0,
+    edge_idx_offset: int = 0,
+    pad_id: int = 5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native batched SENT tokenization; semantics of TrailTokenizer.__call__."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    b = len(graphs)
+    n_edges = np.asarray([g.edges.shape[0] for g in graphs], dtype=np.int64)
+    edge_off = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum(n_edges, out=edge_off[1:])
+    if edge_off[-1]:
+        src = np.ascontiguousarray(
+            np.concatenate([g.edges[:, 0] for g in graphs]).astype(np.int32))
+        dst = np.ascontiguousarray(
+            np.concatenate([g.edges[:, 1] for g in graphs]).astype(np.int32))
+        elab = np.ascontiguousarray(np.concatenate([
+            g.edge_labels if g.edge_labels is not None
+            else np.ones(g.edges.shape[0], np.int32) for g in graphs]).astype(np.int32))
+    else:
+        src = dst = elab = np.zeros(0, dtype=np.int32)
+    num_nodes = np.asarray([g.num_nodes for g in graphs], dtype=np.int32)
+    node_off = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum(num_nodes.astype(np.int64), out=node_off[1:])
+    if labeled:
+        nlab = np.ascontiguousarray(
+            np.concatenate([g.node_labels for g in graphs]).astype(np.int32))
+    else:
+        nlab = np.zeros(0, dtype=np.int32)
+    out = np.empty((b, trunc_len), dtype=np.int32)
+    lens = np.empty(b, dtype=np.int32)
+    rc = lib.gtok_sent_tokenize_batch(
+        _i32p(src), _i32p(dst), _i32p(elab), _i64p(edge_off), _i32p(num_nodes),
+        _i32p(nlab), _i64p(node_off), b, int(labeled), idx_offset,
+        node_idx_offset, edge_idx_offset, trunc_len, pad_id, _i32p(out),
+        _i32p(lens))
+    if rc != 0:
+        raise RuntimeError(f"gtok_sent_tokenize_batch failed: {rc}")
+    return out, lens

@@ -202,16 +202,29 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
         bos_like = 0  # SOS
         fixed = None
 
+    try:
+        from ..native import available as _native_ok, sent_tokenize_batch_native
+        use_native = _native_ok()
+    except Exception:
+        use_native = False
+
     splits = {}
     seqs_by_split = {}
     for s in SPLITS:
+        # clamp: eval graphs can exceed the train max (OOD algorithms);
+        # node positions past max_nodes would alias the '<q>' id, so skip
+        gs = [g for g in graphs[s] if g.num_nodes <= max_nodes]
+        if use_native and gs:
+            ids_n, lens_n = sent_tokenize_batch_native(
+                gs, tok.idx_offset, max_len, labeled=is_zinc,
+                node_idx_offset=tok.node_idx_offset or 0,
+                edge_idx_offset=tok.edge_idx_offset or 0,
+                pad_id=TrailTokenizer.pad)
+            raw = [ids_n[i, : lens_n[i]] for i in range(len(gs))]
+        else:
+            raw = [tok(g) for g in gs]
         seqs = []
-        for g in graphs[s]:
-            # clamp: eval graphs can exceed the train max (OOD algorithms);
-            # node positions past max_nodes would alias the '<q>' id, so skip
-            if g.num_nodes > max_nodes:
-                continue
-            t = tok(g)
+        for g, t in zip(gs, raw):
             if is_zinc:
                 t = tok.remap_zinc_tokens(t, fixed)
             if task == "shortest_path" and g.query_u is not None:

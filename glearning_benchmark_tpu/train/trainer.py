@@ -335,12 +335,16 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     sample = {k: jnp.asarray(v[:2]) for k, v in bundle.splits["train"].items()}
+    # jit the init: eager flax init dispatches op-by-op, which is pathologically
+    # slow through a tunneled TPU backend
     if bundle.kind == "tokens":
-        variables = model.init(init_rng, sample["ids"], sample["mask"],
-                               q_token_id=bundle.q_token_id, deterministic=True)
+        variables = jax.jit(lambda r, i, m: model.init(
+            r, i, m, q_token_id=bundle.q_token_id, deterministic=True))(
+            init_rng, sample["ids"], sample["mask"])
     else:
-        variables = model.init(init_rng, sample["node_feat"], sample["adj"],
-                               sample["mask"], deterministic=True)
+        variables = jax.jit(lambda r, f, a, m: model.init(
+            r, f, a, m, deterministic=True))(
+            init_rng, sample["node_feat"], sample["adj"], sample["mask"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     opt_state = tx.init(params)

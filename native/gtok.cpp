@@ -1,0 +1,222 @@
+// gtok: native host-side tokenization core.
+//
+// The TPU compute path is JAX/XLA; this library covers the *host* hot loops
+// that feed it: SENT trail decomposition (per-graph Hierholzer walks — the
+// one serialization stage that resists vectorization) and whitespace text ->
+// vocab-id encoding for the graph-token corpora. C ABI, loaded via ctypes
+// (no pybind11 in this image). Semantics are bit-identical to the Python
+// reference implementations in glearning_benchmark_tpu/tokenization
+// (sent.py TrailTokenizer, ibtt.py encode_text) and are cross-checked by
+// tests/test_native.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr int32_t SOS = 0, RESET = 1, LADJ = 2, RADJ = 3, EOS = 4;
+constexpr int32_t NUM_SPECIALS = 6;
+
+struct Vocab {
+  std::unordered_map<std::string, int32_t> map;
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// text encoding
+// ---------------------------------------------------------------------------
+
+void* gtok_vocab_create(const char* tokens, const int64_t* offs, int32_t n,
+                        const int32_t* ids) {
+  auto* v = new Vocab();
+  v->map.reserve(static_cast<size_t>(n) * 2);
+  for (int32_t i = 0; i < n; ++i) {
+    v->map.emplace(std::string(tokens + offs[i], tokens + offs[i + 1]), ids[i]);
+  }
+  return v;
+}
+
+void gtok_vocab_free(void* vocab) { delete static_cast<Vocab*>(vocab); }
+
+// Encode n_texts whitespace-tokenized texts to ids.
+//   buf/text_offs: concatenated UTF-8 texts (text i = [offs[i], offs[i+1]))
+//   strip_label:   cut after the first "<p>" token (inclusive)
+//   out_ids:       [n_texts * max_len] prefilled by caller is NOT required;
+//                  rows are padded with pad_id up to max_len
+//   out_lens:      [n_texts]
+// Returns 0 on success.
+int32_t gtok_encode_texts(const void* vocab, const char* buf,
+                          const int64_t* text_offs, int32_t n_texts,
+                          int32_t max_len, int32_t pad_id, int32_t strip_label,
+                          int32_t* out_ids, int32_t* out_lens) {
+  const auto& map = static_cast<const Vocab*>(vocab)->map;
+  for (int32_t t = 0; t < n_texts; ++t) {
+    const char* p = buf + text_offs[t];
+    const char* end = buf + text_offs[t + 1];
+    int32_t* row = out_ids + static_cast<int64_t>(t) * max_len;
+    int32_t len = 0;
+    while (p < end && len < max_len) {
+      while (p < end && (*p == ' ' || *p == '\n' || *p == '\t')) ++p;
+      const char* start = p;
+      while (p < end && *p != ' ' && *p != '\n' && *p != '\t') ++p;
+      if (p == start) break;
+      std::string tok(start, p);
+      auto it = map.find(tok);
+      row[len++] = (it == map.end()) ? pad_id : it->second;
+      if (strip_label && tok.size() == 3 && tok == "<p>") break;
+    }
+    out_lens[t] = len;
+    for (int32_t i = len; i < max_len; ++i) row[i] = pad_id;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// SENT trail tokenization (batched)
+// ---------------------------------------------------------------------------
+
+// One graph's trail tokenization. Mirrors TrailTokenizer.__call__:
+// unique undirected edges in first-occurrence order; Hierholzer greedy walks
+// starting at the lowest-index odd-degree (else lowest-index) vertex,
+// stepping to the lowest-index unused neighbor; RESET between trails, LADJ
+// when a trail starts at an already-seen vertex, RADJ when a trail's end
+// vertex starts a later trail; isolated nodes as singleton trails; EOS;
+// truncation keeps EOS.
+static void sent_one(const int32_t* src, const int32_t* dst,
+                     const int32_t* elab, int64_t n_edges, int32_t n_nodes,
+                     const int32_t* nlab, int32_t labeled, int32_t idx_offset,
+                     int32_t node_idx_offset, int32_t edge_idx_offset,
+                     int32_t trunc_len, std::vector<int32_t>& out) {
+  // unique undirected edges, first occurrence
+  std::unordered_set<int64_t> seen_e;
+  std::vector<int32_t> eu, ev, eb;
+  eu.reserve(n_edges);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    int32_t a = src[i], b = dst[i];
+    int64_t lo = a < b ? a : b, hi = a < b ? b : a;
+    int64_t key = lo * 1000003 + hi;
+    if (seen_e.count(key)) continue;
+    seen_e.insert(key);
+    eu.push_back(a);
+    ev.push_back(b);
+    eb.push_back(elab ? elab[i] : 1);
+  }
+  int32_t m = static_cast<int32_t>(eu.size());
+
+  // adjacency lists sorted ascending by (neighbor, edge index)
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> adj(n_nodes);
+  for (int32_t i = 0; i < m; ++i) {
+    adj[eu[i]].push_back({ev[i], i});
+    adj[ev[i]].push_back({eu[i], i});
+  }
+  for (auto& a : adj) std::sort(a.begin(), a.end());
+
+  std::vector<uint8_t> used(m, 0);
+  std::vector<int32_t> ptr(n_nodes, 0), remaining(n_nodes, 0), deg(n_nodes, 0);
+  for (int32_t u = 0; u < n_nodes; ++u)
+    deg[u] = remaining[u] = static_cast<int32_t>(adj[u].size());
+
+  // trail decomposition
+  std::vector<std::vector<int32_t>> trails_n, trails_e;
+  int64_t rem_total = 2LL * m;
+  while (rem_total > 0) {
+    int32_t start = -1;
+    for (int32_t u = 0; u < n_nodes; ++u)
+      if (remaining[u] > 0 && (remaining[u] % 2) == 1) { start = u; break; }
+    if (start < 0)
+      for (int32_t u = 0; u < n_nodes; ++u)
+        if (remaining[u] > 0) { start = u; break; }
+    std::vector<int32_t> tn{start}, te;
+    int32_t cur = start;
+    for (;;) {
+      int32_t nxt = -1, ei = -1;
+      while (ptr[cur] < static_cast<int32_t>(adj[cur].size())) {
+        auto [v, e] = adj[cur][ptr[cur]];
+        if (!used[e]) { nxt = v; ei = e; break; }
+        ++ptr[cur];
+      }
+      if (nxt < 0) break;
+      used[ei] = 1;
+      remaining[cur]--; remaining[nxt]--; rem_total -= 2;
+      tn.push_back(nxt);
+      te.push_back(ei);
+      cur = nxt;
+    }
+    trails_n.push_back(std::move(tn));
+    trails_e.push_back(std::move(te));
+  }
+  for (int32_t u = 0; u < n_nodes; ++u)
+    if (deg[u] == 0) { trails_n.push_back({u}); trails_e.push_back({}); }
+
+  // emission
+  out.clear();
+  out.push_back(SOS);
+  std::unordered_set<int32_t> seen_nodes;
+  size_t nt = trails_n.size();
+  for (size_t t = 0; t < nt; ++t) {
+    const auto& tn = trails_n[t];
+    const auto& te = trails_e[t];
+    if (t > 0) {
+      out.push_back(RESET);
+      if (seen_nodes.count(tn[0])) out.push_back(LADJ);
+    }
+    out.push_back(idx_offset + tn[0]);
+    if (labeled && nlab) out.push_back(node_idx_offset + nlab[tn[0]]);
+    seen_nodes.insert(tn[0]);
+    for (size_t k = 1; k < tn.size(); ++k) {
+      if (labeled) out.push_back(edge_idx_offset + eb[te[k - 1]] - 1);
+      out.push_back(idx_offset + tn[k]);
+      if (labeled && nlab) out.push_back(node_idx_offset + nlab[tn[k]]);
+      seen_nodes.insert(tn[k]);
+    }
+    if (t + 1 < nt) {
+      int32_t last = tn.back();
+      bool radj = false;
+      for (size_t u = t + 1; u < nt; ++u)
+        if (trails_n[u][0] == last) { radj = true; break; }
+      if (radj) out.push_back(RADJ);
+    }
+  }
+  out.push_back(EOS);
+  if (static_cast<int32_t>(out.size()) > trunc_len) {
+    out.resize(trunc_len);
+    out.back() = EOS;
+  }
+}
+
+// Batched SENT tokenization over a flat edge list.
+//   edge_off: [n_graphs+1] into src/dst/elab; num_nodes: [n_graphs]
+//   node_off: [n_graphs+1] into nlab (ignored unless labeled)
+//   out_tokens: [n_graphs * trunc_len] (pad-filled), out_lens: [n_graphs]
+int32_t gtok_sent_tokenize_batch(
+    const int32_t* src, const int32_t* dst, const int32_t* elab,
+    const int64_t* edge_off, const int32_t* num_nodes, const int32_t* nlab,
+    const int64_t* node_off, int32_t n_graphs, int32_t labeled,
+    int32_t idx_offset, int32_t node_idx_offset, int32_t edge_idx_offset,
+    int32_t trunc_len, int32_t pad_id, int32_t* out_tokens,
+    int32_t* out_lens) {
+  std::vector<int32_t> buf;
+  for (int32_t g = 0; g < n_graphs; ++g) {
+    int64_t es = edge_off[g], ee = edge_off[g + 1];
+    const int32_t* gl = (labeled && nlab) ? nlab + node_off[g] : nullptr;
+    sent_one(src + es, dst + es, elab ? elab + es : nullptr, ee - es,
+             num_nodes[g], gl, labeled, idx_offset, node_idx_offset,
+             edge_idx_offset, trunc_len, buf);
+    int32_t* row = out_tokens + static_cast<int64_t>(g) * trunc_len;
+    int32_t len = static_cast<int32_t>(buf.size());
+    std::memcpy(row, buf.data(), sizeof(int32_t) * len);
+    for (int32_t i = len; i < trunc_len; ++i) row[i] = pad_id;
+    out_lens[g] = len;
+  }
+  return 0;
+}
+
+}  // extern "C"
