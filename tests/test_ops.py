@@ -1,0 +1,57 @@
+"""ops tests: masked reductions, masked MHA, Pallas flash attention
+(interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glearning_benchmark_tpu.ops.attention import multi_head_attention
+from glearning_benchmark_tpu.ops.pallas_attention import flash_attention
+from glearning_benchmark_tpu.ops.segment import masked_max, masked_mean, masked_sum
+
+
+def test_masked_reductions():
+    x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 3, 4))
+    mask = jnp.asarray([[True, True, False], [True, False, False]])
+    s = np.asarray(masked_sum(x, mask))
+    np.testing.assert_allclose(s[0], np.arange(8, dtype=np.float32).reshape(2, 4).sum(0))
+    m = np.asarray(masked_mean(x, mask))
+    np.testing.assert_allclose(m[1], np.arange(12, 16, dtype=np.float32))
+    mx = np.asarray(masked_max(x, mask))
+    np.testing.assert_allclose(mx[0], np.arange(4, 8, dtype=np.float32))
+
+
+def test_mha_key_masking():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, 4, 2, 8)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 4, 2, 8)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 4, 2, 8)), dtype=jnp.float32)
+    mask = jnp.asarray([[True, True, False, False]])
+    out = multi_head_attention(q, k, v, key_mask=mask)
+    # changing masked-out keys must not change the output
+    k2 = k.at[:, 2:].set(99.0)
+    v2 = v.at[:, 2:].set(-99.0)
+    out2 = multi_head_attention(q, k2, v2, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(2, 200, 4, 16), (1, 130, 2, 32), (3, 512, 4, 64)])
+def test_flash_attention_matches_reference(shape):
+    b, l, h, d = shape
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=shape), dtype=jnp.float32) for _ in range(3))
+    mask = np.ones((b, l), bool)
+    mask[0, l // 3:] = False
+    ref = np.asarray(multi_head_attention(q, k, v, key_mask=jnp.asarray(mask)))
+    out = np.asarray(flash_attention(q, k, v, jnp.asarray(mask), interpret=True))
+    np.testing.assert_allclose(out[mask], ref[mask], atol=1e-5)
+
+
+def test_flash_attention_all_valid():
+    rng = np.random.default_rng(2)
+    shape = (2, 256, 2, 16)
+    q, k, v = (jnp.asarray(rng.normal(size=shape), dtype=jnp.float32) for _ in range(3))
+    mask = jnp.ones(shape[:2], dtype=bool)
+    ref = np.asarray(multi_head_attention(q, k, v, key_mask=mask))
+    out = np.asarray(flash_attention(q, k, v, mask, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Serial benchmark campaign: train reference configurations and record
+results (RESULTS.json + RESULTS.md) for comparison against BASELINE.md.
+
+Run detached:  nohup python tools/run_benchmarks.py [--set quick|full] &
+One process, runs sequential — the tunneled TPU is single-client. Each run
+executes in a watchdog subprocess (``--child``): the tunneled backend's
+remote compiles occasionally stall, so a run with no stdout progress for
+``--stall-secs`` is killed and retried; the persistent compilation cache
+(utils/jaxcache.py) makes completed compiles durable across retries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from glearning_benchmark_tpu.utils.config import load_config, normalize_config  # noqa: E402
+
+# (run name, model, config path, overrides)
+RUNS_FULL = [
+    # cycle_check (train ba+sbm, OOD test sfn) — baselines: MPNN .9961,
+    # GPS .9822, AGTT .9727, IBTT .9651 val acc
+    ("ibtt-cycle", "ibtt", "configs/ibtt_graph_token.yaml", {}),
+    ("mpnn-cycle", "mpnn", "configs/mpnn_graph_token.yaml", {"dataset.num_graphs": 500}),
+    ("agtt-cycle", "agtt", "configs/agtt_graph_token.yaml", {"dataset.num_graphs": 500}),
+    ("gps-cycle", "ggps", "configs/gps_graph_token.yaml", {"dataset.num_graphs": 500}),
+    # shortest_path — IBTT/AGTT train on path; MPNN/GPS on er+sbm+path
+    ("ibtt-sp", "ibtt", "configs/ibtt_graph_token.yaml",
+     {"dataset.task": "shortest_path", "dataset.train_algorithms": ["path"],
+      "dataset.test_algorithm": "er", "train.epochs": 300,
+      "output.run_name": "ibtt-sp"}),
+    ("agtt-sp", "agtt", "configs/agtt_graph_token.yaml",
+     {"dataset.task": "shortest_path", "dataset.train_algorithms": ["path"],
+      "dataset.test_algorithm": "er", "dataset.num_graphs": 500,
+      "train.epochs": 300, "output.run_name": "agtt-sp"}),
+    ("mpnn-sp", "mpnn", "configs/mpnn_graph_token.yaml",
+     {"dataset.task": "shortest_path",
+      "dataset.train_algorithms": ["er", "sbm", "path"],
+      "dataset.test_algorithm": "ba", "dataset.num_graphs": 300,
+      "train.epochs": 300, "output.run_name": "mpnn-sp"}),
+    ("gps-sp", "ggps", "configs/gps_graph_token.yaml",
+     {"dataset.task": "shortest_path",
+      "dataset.train_algorithms": ["er", "sbm", "path"],
+      "dataset.test_algorithm": "ba", "dataset.num_graphs": 300,
+      "train.epochs": 300, "output.run_name": "gps-sp"}),
+    # zinc (stand-in corpus unless a real export is present)
+    ("ibtt-zinc", "ibtt", "configs/ibtt_zinc.yaml", {}),
+    ("agtt-zinc", "agtt", "configs/agtt_zinc.yaml", {}),
+    ("mpnn-zinc", "mpnn", "configs/mpnn_zinc.yaml", {}),
+    ("gps-zinc", "ggps", "configs/gps_zinc.yaml", {}),
+]
+
+RUNS_QUICK = [r[:3] + ({**r[3], "train.epochs": 10},) for r in RUNS_FULL[:4]]
+
+
+def apply_overrides(cfg: dict, overrides: dict) -> dict:
+    for key, val in overrides.items():
+        cur = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = val
+    return cfg
+
+
+def run_one(name: str, model: str, config_path: str, overrides: dict,
+            result_path: str) -> None:
+    """Child entry: execute one training run, write its result JSON."""
+    from glearning_benchmark_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    from glearning_benchmark_tpu.train.trainer import train
+
+    cfg = normalize_config(load_config(config_path))
+    cfg = apply_overrides(cfg, overrides)
+    cfg.setdefault("output", {})["run_name"] = name
+    t0 = time.time()
+    res = train(cfg, model, verbose=True)
+    te = {k: (float(v) if not hasattr(v, "tolist") else None)
+          for k, v in res.test_metrics.items() if k != "confusion_matrix"}
+    epochs = res.history
+    steady = [h["time/epoch_duration"] for h in epochs[2:]] or \
+             [h["time/epoch_duration"] for h in epochs]
+    out = {
+        "model": model,
+        "task": cfg["dataset"]["task"],
+        "best_val": float(res.best_val),
+        "test": te,
+        "wall_s": round(time.time() - t0, 1),
+        "epochs": len(epochs),
+        "steady_epoch_s": round(sum(steady) / max(len(steady), 1), 4),
+        "graphs_per_sec": round(max(h["throughput/graphs_per_sec"]
+                                    for h in epochs), 1),
+    }
+    with open(result_path, "w") as f:
+        json.dump(out, f)
+
+
+def run_with_watchdog(name, model, config_path, overrides, result_path,
+                      stall_secs: int, max_tries: int = 4) -> dict:
+    """Run the child under a no-output-progress watchdog with retries."""
+    import subprocess
+
+    payload = json.dumps([name, model, config_path, overrides, result_path])
+    for attempt in range(1, max_tries + 1):
+        if os.path.exists(result_path):
+            os.unlink(result_path)
+        log = f"{result_path}.log"
+        with open(log, "w") as lf:
+            proc = subprocess.Popen(
+                [sys.executable, "-u", os.path.abspath(__file__), "--child", payload],
+                stdout=lf, stderr=subprocess.STDOUT,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        last_size, last_change = -1, time.time()
+        while True:
+            rc = proc.poll()
+            size = os.path.getsize(log) if os.path.exists(log) else 0
+            if size != last_size:
+                last_size, last_change = size, time.time()
+            if rc is not None:
+                break
+            if time.time() - last_change > stall_secs:
+                print(f"[{name}] attempt {attempt}: stalled "
+                      f"({stall_secs}s without output) — killing", flush=True)
+                proc.kill()
+                proc.wait()
+                rc = -9
+                break
+            time.sleep(5)
+        if rc == 0 and os.path.exists(result_path):
+            with open(result_path) as f:
+                return json.load(f)
+        print(f"[{name}] attempt {attempt} failed (rc={rc}); log tail:", flush=True)
+        try:
+            with open(log) as f:
+                print("".join(f.readlines()[-8:]), flush=True)
+        except OSError:
+            pass
+        time.sleep(10)
+    return {"model": model, "error": f"failed after {max_tries} attempts"}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", default="full", choices=["quick", "full"])
+    ap.add_argument("--only", default=None, help="comma-separated run names")
+    ap.add_argument("--out", default="RESULTS.json")
+    ap.add_argument("--stall-secs", type=int, default=240)
+    ap.add_argument("--child", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child:
+        run_one(*json.loads(args.child))
+        return
+
+    runs = RUNS_FULL if args.set == "full" else RUNS_QUICK
+    if args.only:
+        wanted = set(args.only.split(","))
+        runs = [r for r in runs if r[0] in wanted]
+
+    results = {}
+    if os.path.isfile(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    os.makedirs("/tmp/gbt_runs", exist_ok=True)
+    for name, model, config_path, overrides in runs:
+        print(f"\n{'='*80}\nRUN {name} ({model})\n{'='*80}", flush=True)
+        results[name] = run_with_watchdog(
+            name, model, config_path, overrides,
+            f"/tmp/gbt_runs/{name}.json", args.stall_secs)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"[{name}] -> {json.dumps(results[name])}", flush=True)
+
+    # markdown summary
+    lines = ["# RESULTS — this framework (TPU)", "",
+             "| run | model | task | best val | test | steady epoch (s) | graphs/s |",
+             "|---|---|---|---|---|---|---|"]
+    for name, r in results.items():
+        if "error" in r:
+            lines.append(f"| {name} | {r['model']} | — | ERROR | {r['error'][:60]} | | |")
+            continue
+        test_key = "mae" if r["task"] == "zinc" else "accuracy"
+        test_val = r["test"].get(test_key)
+        lines.append(
+            f"| {name} | {r['model']} | {r['task']} | {r['best_val']:.4f} | "
+            f"{test_key}={test_val:.4f} | {r['steady_epoch_s']} | {r['graphs_per_sec']} |")
+    with open("RESULTS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\nwrote RESULTS.json / RESULTS.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,8 @@ def main() -> None:
         raise SystemExit(f"config not found: {config_path}")
 
     from glearning_benchmark_tpu.utils.config import load_config, normalize_config
+    from glearning_benchmark_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     config = normalize_config(load_config(config_path))
     if args.epochs is not None:
         config["train"]["epochs"] = args.epochs
