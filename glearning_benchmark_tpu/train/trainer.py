@@ -229,12 +229,19 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
     return jax.jit(train_epoch, donate_argnums=(0, 1, 2)), jax.jit(eval_epoch)
 
 
-def make_batches(n: int, batch_size: int, rng: np.random.Generator | None):
-    """[nb, bs] index matrix + [nb, bs] validity mask (last batch padded)."""
+def make_batches(n: int, batch_size: int, rng: np.random.Generator | None,
+                 pad_to_nb: int | None = None):
+    """[nb, bs] index matrix + [nb, bs] validity mask (last batch padded).
+
+    ``pad_to_nb`` pads the batch count with fully-invalid batches so
+    different splits can share one compiled eval function (one XLA compile
+    instead of one per distinct batch count)."""
     idx = np.arange(n)
     if rng is not None:
         rng.shuffle(idx)
     nb = max(1, (n + batch_size - 1) // batch_size)
+    if pad_to_nb is not None:
+        nb = max(nb, pad_to_nb)
     padded = np.zeros(nb * batch_size, dtype=np.int32)
     padded[:n] = idx
     valid = np.zeros(nb * batch_size, dtype=bool)
@@ -352,12 +359,24 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     if verbose:
         print(f"Model parameters: {num_params:,}")
 
-    # device-resident split arrays (single transfer), optionally sharded
+    # device-resident split arrays (single transfer), optionally sharded.
+    # val and test are padded to a common row count so they share ONE
+    # compiled eval function (compiles are expensive on tunneled backends).
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
-    dev_splits = {}
-    for s, arrays in bundle.splits.items():
-        dev_splits[s] = {k: jnp.asarray(v) for k, v in arrays.items()}
+    host_splits = dict(bundle.splits)
+    n_eval = max(bundle.n("val"), bundle.n("test"), 1)
+    for s in ("val", "test"):
+        arrays = host_splits[s]
+        n = len(arrays["y"])
+        if n < n_eval:
+            padded = {}
+            for k, v in arrays.items():
+                reps = np.zeros((n_eval - n,) + v.shape[1:], dtype=v.dtype)
+                padded[k] = np.concatenate([v, reps], axis=0)
+            host_splits[s] = padded
+    dev_splits = {s: {k: jnp.asarray(v) for k, v in arrays.items()}
+                  for s, arrays in host_splits.items()}
 
     train_ep, eval_ep = make_epoch_fns(model, bundle, tx, task, num_classes)
 
@@ -368,6 +387,18 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
 
     better = (lambda a, b: a < b) if task == "zinc" else (lambda a, b: a > b)
     best_val = float("inf") if task == "zinc" else -1.0
+    start_epoch = 1
+    if train_cfg.get("resume"):
+        ckpt = load_checkpoint(os.path.join(out_dir, f"best_{run_name}"))
+        if ckpt is not None and ckpt.get("params") is not None:
+            params = jax.tree.map(jnp.asarray, ckpt["params"])
+            if ckpt.get("batch_stats") is not None:
+                batch_stats = jax.tree.map(jnp.asarray, ckpt["batch_stats"])
+            best_val = float(ckpt.get("best_val", best_val))
+            start_epoch = int(ckpt.get("epoch", 0)) + 1
+            if verbose:
+                print(f"Resumed from epoch {start_epoch - 1} "
+                      f"(best_val={best_val:.4f})")
     best_params = None
     best_bs = None
     history: List[Dict[str, Any]] = []
@@ -376,10 +407,11 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     time_to_best = 0.0
     initial_val_metric = 0.0
 
-    eval_batches = {s: make_batches(bundle.n(s), batch_size, None)
+    eval_nb = max(1, (n_eval + batch_size - 1) // batch_size)
+    eval_batches = {s: make_batches(bundle.n(s), batch_size, None, pad_to_nb=eval_nb)
                     for s in ("val", "test")}
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         ep_start = time.time()
         idx, valid = make_batches(n_train, batch_size, shuffle_rng)
         rng, ep_rng = jax.random.split(rng)

@@ -150,7 +150,9 @@ def main() -> None:
     ap.add_argument("--set", default="full", choices=["quick", "full"])
     ap.add_argument("--only", default=None, help="comma-separated run names")
     ap.add_argument("--out", default="RESULTS.json")
-    ap.add_argument("--stall-secs", type=int, default=240)
+    ap.add_argument("--stall-secs", type=int, default=600)
+    ap.add_argument("--rerun", action="store_true",
+                    help="re-run entries already present in --out")
     ap.add_argument("--child", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -170,6 +172,9 @@ def main() -> None:
 
     os.makedirs("/tmp/gbt_runs", exist_ok=True)
     for name, model, config_path, overrides in runs:
+        if not args.rerun and name in results and "error" not in results[name]:
+            print(f"[{name}] already done — skipping", flush=True)
+            continue
         print(f"\n{'='*80}\nRUN {name} ({model})\n{'='*80}", flush=True)
         results[name] = run_with_watchdog(
             name, model, config_path, overrides,
