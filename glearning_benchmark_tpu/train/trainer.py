@@ -482,10 +482,24 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     if best_params is not None:
         params = jax.tree.map(jnp.asarray, best_params)
         batch_stats = jax.tree.map(jnp.asarray, best_bs) if best_bs is not None else None
-    tidx, tvalid = eval_batches["test"]
-    te_stats = eval_ep(params, batch_stats, dev_splits["test"],
-                       jnp.asarray(tidx), jnp.asarray(tvalid))
-    te = _epoch_metrics(te_stats, task, num_classes)
+    if bundle.n("test") == 0:
+        # reference behavior: warn and continue (train_ibtt.py:346-347)
+        print("[warn] No test examples found. Test metrics will be trivial.")
+        te = {"loss": 0.0} | ({"mae": 0.0, "mse": 0.0, "rmse": 0.0}
+                             if task == "zinc" else {"accuracy": 0.0})
+    else:
+        tidx, tvalid = eval_batches["test"]
+        te_stats = eval_ep(params, batch_stats, dev_splits["test"],
+                           jnp.asarray(tidx), jnp.asarray(tvalid))
+        te = _epoch_metrics(te_stats, task, num_classes)
+    if task != "zinc" and "confusion_matrix" in te:
+        try:
+            from .viz import create_confusion_matrix_heatmap
+            img = create_confusion_matrix_heatmap(te["confusion_matrix"], task,
+                                                  title="Test Confusion Matrix")
+            img.save(os.path.join(out_dir, f"{run_name}_test_cm.png"))
+        except Exception:
+            pass
 
     if verbose:
         print("\n" + "=" * 80 + "\nTEST RESULTS\n" + "=" * 80)
