@@ -187,10 +187,10 @@ def generate_graph(algorithm: str, seed: int,
         edges = _gen_path(n)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    # shuffle edge emission order (graph-token serializes in generator order)
-    if edges.shape[0] > 1:
-        perm = rng.permutation(edges.shape[0])
-        edges = edges[perm]
+    # edges stay in generator emission order (graph-token serializes the
+    # generator's natural edge order — e.g. path graphs read '0 1 <e> 1 2
+    # <e> ...' — and the sequence models demonstrably exploit it; shuffling
+    # here would make the task distribution harder than the reference's)
     return Graph(edges=edges, num_nodes=n, y=0)
 
 

@@ -101,9 +101,21 @@ def run_one(name: str, model: str, config_path: str, overrides: dict,
         json.dump(out, f)
 
 
+_current_child = None
+
+
+def _kill_child(signum=None, frame=None):
+    global _current_child
+    if _current_child is not None and _current_child.poll() is None:
+        _current_child.kill()
+    if signum is not None:
+        sys.exit(1)
+
+
 def run_with_watchdog(name, model, config_path, overrides, result_path,
                       stall_secs: int, max_tries: int = 4) -> dict:
     """Run the child under a no-output-progress watchdog with retries."""
+    global _current_child
     import subprocess
 
     payload = json.dumps([name, model, config_path, overrides, result_path])
@@ -116,6 +128,7 @@ def run_with_watchdog(name, model, config_path, overrides, result_path,
                 [sys.executable, "-u", os.path.abspath(__file__), "--child", payload],
                 stdout=lf, stderr=subprocess.STDOUT,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            _current_child = proc
         last_size, last_change = -1, time.time()
         while True:
             rc = proc.poll()
@@ -159,6 +172,10 @@ def main() -> None:
     if args.child:
         run_one(*json.loads(args.child))
         return
+
+    import signal
+    signal.signal(signal.SIGTERM, _kill_child)
+    signal.signal(signal.SIGINT, _kill_child)
 
     runs = RUNS_FULL if args.set == "full" else RUNS_QUICK
     if args.only:
