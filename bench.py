@@ -72,7 +72,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(reps):
         flat = flatten_zinc_corpus(mols)
-        vocab = build_zinc_vocab_fast(mols)
+        vocab = build_zinc_vocab_fast(mols, flat=flat)
         ids, lens = corpus_ids_vectorized(mols, vocab, max_len=max_len, flat=flat)
         packed, mask = pack_corpus(ids, lens, pad_id=vocab["<pad>"])
     t_fast = (time.perf_counter() - t0) / reps

@@ -86,7 +86,8 @@ def _id_tables(vocab: Dict[str, int], max_nodes: int):
     return atom_ids, bond_ids, index_ids
 
 
-def build_zinc_vocab_fast(mols: Sequence[Graph]) -> Dict[str, int]:
+def build_zinc_vocab_fast(mols: Sequence[Graph],
+                          flat: Dict[str, np.ndarray] | None = None) -> Dict[str, int]:
     """Fixed ZINC vocab + dynamic tokens in the exact first-occurrence order
     the string-path corpus scan would produce — computed numerically.
 
@@ -95,7 +96,8 @@ def build_zinc_vocab_fast(mols: Sequence[Graph]) -> Dict[str, int]:
     'val_*' label string. Numeric encoding: index i -> code i; label ->
     code max_nodes + label_rank (labels ranked by first appearance).
     """
-    flat = flatten_zinc_corpus(mols)
+    if flat is None:
+        flat = flatten_zinc_corpus(mols)
     if not _edges_lexsorted_per_mol(flat):
         # exact but slower: scan strings
         from .ibtt import tokenize_zinc_molecule

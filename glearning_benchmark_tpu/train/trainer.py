@@ -411,8 +411,14 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     eval_batches = {s: make_batches(bundle.n(s), batch_size, None, pad_to_nb=eval_nb)
                     for s in ("val", "test")}
 
+    # optional profiler trace over a few steady-state epochs
+    profile_epochs = set(train_cfg.get("profile_epochs", []) or [])
+    profile_dir = os.path.join(out_dir, f"{run_name}_trace")
+
     for epoch in range(start_epoch, epochs + 1):
         ep_start = time.time()
+        if epoch in profile_epochs:
+            jax.profiler.start_trace(profile_dir)
         idx, valid = make_batches(n_train, batch_size, shuffle_rng)
         rng, ep_rng = jax.random.split(rng)
         params, batch_stats, opt_state, tr_stats = train_ep(
@@ -423,6 +429,8 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                            jnp.asarray(vidx), jnp.asarray(vvalid))
         tr = _epoch_metrics(tr_stats, task, num_classes)
         va = _epoch_metrics(va_stats, task, num_classes)
+        if epoch in profile_epochs:
+            jax.profiler.stop_trace()
         dur = time.time() - ep_start
 
         if task == "zinc":
