@@ -73,6 +73,8 @@ class SimpleTransformer(nn.Module):
     task: str = "cycle_check"
     bos_id: int = 1                       # SPECIAL.index('<bos>') for IBTT; SOS=0 for AGTT
     query_offsets: Tuple[int, int] = (2, 3)
+    remat: bool = False                   # rematerialize encoder layers (trade
+                                          # FLOPs for HBM at long seq lengths)
 
     @nn.compact
     def __call__(
@@ -88,9 +90,11 @@ class SimpleTransformer(nn.Module):
         pos_ids = jnp.arange(l)[None, :]
         h = h + nn.Embed(self.max_pos, self.d_model, embedding_init=_TRUNC,
                          name="pos")(pos_ids)
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) if self.remat \
+            else EncoderLayer
         for i in range(self.nlayers):
-            h = EncoderLayer(self.d_model, self.nhead, self.d_ff, self.p_drop,
-                             name=f"layer_{i}")(h, attn_mask, deterministic)
+            h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
+                          name=f"layer_{i}")(h, attn_mask, deterministic)
 
         # <bos> pooling with masked-mean fallback (train_ibtt.py:114-120)
         maskf = attn_mask.astype(h.dtype)

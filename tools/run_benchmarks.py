@@ -34,26 +34,33 @@ RUNS_FULL = [
     ("ibtt-sp", "ibtt", "configs/ibtt_graph_token.yaml",
      {"dataset.task": "shortest_path", "dataset.train_algorithms": ["path"],
       "dataset.test_algorithm": "er", "train.epochs": 300,
-      "output.run_name": "ibtt-sp"}),
+      "train.epochs_per_dispatch": 25, "output.run_name": "ibtt-sp"}),
     ("agtt-sp", "agtt", "configs/agtt_graph_token.yaml",
      {"dataset.task": "shortest_path", "dataset.train_algorithms": ["path"],
       "dataset.test_algorithm": "er", "dataset.num_graphs": 500,
-      "train.epochs": 300, "output.run_name": "agtt-sp"}),
+      "train.epochs": 300, "train.epochs_per_dispatch": 25,
+      "output.run_name": "agtt-sp"}),
     ("mpnn-sp", "mpnn", "configs/mpnn_graph_token.yaml",
      {"dataset.task": "shortest_path",
       "dataset.train_algorithms": ["er", "sbm", "path"],
       "dataset.test_algorithm": "ba", "dataset.num_graphs": 300,
-      "train.epochs": 300, "output.run_name": "mpnn-sp"}),
+      "train.epochs": 300, "train.epochs_per_dispatch": 25,
+      "output.run_name": "mpnn-sp"}),
     ("gps-sp", "ggps", "configs/gps_graph_token.yaml",
      {"dataset.task": "shortest_path",
       "dataset.train_algorithms": ["er", "sbm", "path"],
       "dataset.test_algorithm": "ba", "dataset.num_graphs": 300,
-      "train.epochs": 300, "output.run_name": "gps-sp"}),
+      "train.epochs": 300, "train.epochs_per_dispatch": 25,
+      "output.run_name": "gps-sp"}),
     # zinc (stand-in corpus unless a real export is present)
-    ("ibtt-zinc", "ibtt", "configs/ibtt_zinc.yaml", {}),
-    ("agtt-zinc", "agtt", "configs/agtt_zinc.yaml", {}),
-    ("mpnn-zinc", "mpnn", "configs/mpnn_zinc.yaml", {}),
-    ("gps-zinc", "ggps", "configs/gps_zinc.yaml", {}),
+    ("ibtt-zinc", "ibtt", "configs/ibtt_zinc.yaml",
+     {"train.epochs_per_dispatch": 10}),
+    ("agtt-zinc", "agtt", "configs/agtt_zinc.yaml",
+     {"train.epochs_per_dispatch": 10}),
+    ("mpnn-zinc", "mpnn", "configs/mpnn_zinc.yaml",
+     {"train.epochs_per_dispatch": 10}),
+    ("gps-zinc", "ggps", "configs/gps_zinc.yaml",
+     {"train.epochs_per_dispatch": 10}),
 ]
 
 RUNS_QUICK = [r[:3] + ({**r[3], "train.epochs": 10},) for r in RUNS_FULL[:4]]
