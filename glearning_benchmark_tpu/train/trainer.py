@@ -428,6 +428,10 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                       f"(best_val={best_val:.4f})")
     best_params = None
     best_bs = None
+    if start_epoch > 1:
+        # resumed: the loaded params ARE the best so far
+        best_params = jax.tree.map(np.asarray, params)
+        best_bs = jax.tree.map(np.asarray, batch_stats) if batch_stats is not None else None
     history: List[Dict[str, Any]] = []
     shuffle_rng = np.random.default_rng(seed)
     t0 = time.time()
@@ -459,7 +463,6 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             jax.profiler.start_trace(profile_dir)
         idx_k = np.stack([make_batches(n_train, batch_size, shuffle_rng)[0]
                           for _ in range(k)])
-        nb = idx_k.shape[1]
         valid_one = make_batches(n_train, batch_size, None)[1]
         valid_k = np.broadcast_to(valid_one, (k,) + valid_one.shape)
         rng, blk_rng = jax.random.split(rng)
