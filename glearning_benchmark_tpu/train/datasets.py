@@ -29,7 +29,7 @@ from ..data.loader import (
 )
 from ..data.zinc import ZINC_NUM_ATOM_TYPES, ZINC_NUM_BOND_TYPES, load_zinc_split
 from ..tokenization.ibtt import encode_texts, tokenize_zinc_molecule
-from ..tokenization.pack import pack_corpus, pad_sequences, round_up_to_bucket
+from ..tokenization.pack import pad_sequences, round_up_to_bucket
 from ..tokenization.sent import TrailTokenizer
 from ..tokenization.vocab import (
     build_fixed_zinc_vocab,

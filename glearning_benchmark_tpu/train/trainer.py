@@ -30,19 +30,18 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import FrozenDict
 
 from ..models.gps import GPSModel
 from ..models.mpnn import MPNN
 from ..models.transformer import SimpleTransformer
-from ..parallel.mesh import make_mesh, replicated_spec, shard_batch_spec
+from ..parallel.mesh import make_mesh
 from ..tokenization.vocab import SPECIAL
 from .checkpoint import load_checkpoint, save_checkpoint
 from .datasets import DatasetBundle, build_agtt_dataset, build_graph_dataset, build_ibtt_dataset
@@ -172,14 +171,6 @@ def _loss_and_stats(logits, y, valid, task: str, num_classes: int):
     cm = lh.T @ ph
     stats = {"loss_sum": loss_sum, "count": count, "cm": cm}
     return loss_sum / jnp.clip(count, 1.0), stats
-
-
-def _zero_stats(task: str, num_classes: int):
-    if task == "zinc":
-        return {"loss_sum": jnp.zeros(()), "count": jnp.zeros(()),
-                "abs_sum": jnp.zeros(()), "sq_sum": jnp.zeros(())}
-    return {"loss_sum": jnp.zeros(()), "count": jnp.zeros(()),
-            "cm": jnp.zeros((num_classes, num_classes))}
 
 
 def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int):
