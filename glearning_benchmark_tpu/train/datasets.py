@@ -285,7 +285,9 @@ def build_graph_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = Non
     for s in SPLITS:
         gb = batch_graphs(graphs[s], n_max=n_max, node_feat_mode=node_feat_mode,
                           query_encoding=query_encoding, label_dtype=label_dtype)
-        splits[s] = {"node_feat": gb.node_feat, "adj": gb.adj,
+        # adjacency stored uint8 (4x less HBM for the corpus-resident
+        # arrays); cast to f32 per gathered batch inside jit
+        splits[s] = {"node_feat": gb.node_feat, "adj": gb.adj.astype(np.uint8),
                      "mask": gb.node_mask, "y": gb.y}
 
     if is_zinc:

@@ -141,7 +141,8 @@ def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rn
                           q_token_id=bundle.q_token_id,
                           deterministic=not train, mutable=mutable, **kwargs)
     else:
-        out = model.apply(variables, batch["node_feat"], batch["adj"], batch["mask"],
+        adj = batch["adj"].astype(jnp.float32)  # stored uint8 corpus-side
+        out = model.apply(variables, batch["node_feat"], adj, batch["mask"],
                           deterministic=not train, mutable=mutable, **kwargs)
     if mutable:
         logits, updates = out
@@ -368,7 +369,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             init_rng, sample["ids"], sample["mask"])
     else:
         variables = jax.jit(lambda r, f, a, m: model.init(
-            r, f, a, m, deterministic=True))(
+            r, f, a.astype(jnp.float32), m, deterministic=True))(
             init_rng, sample["node_feat"], sample["adj"], sample["mask"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
