@@ -36,6 +36,7 @@ class EncoderLayer(nn.Module):
     nhead: int
     d_ff: int
     p_drop: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool):
@@ -47,7 +48,11 @@ class EncoderLayer(nn.Module):
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
-        attn = multi_head_attention(q, k, v, key_mask=key_mask)
+        if self.use_flash:
+            from ..ops.pallas_attention import flash_attention
+            attn = flash_attention(q, k, v, key_mask)
+        else:
+            attn = multi_head_attention(q, k, v, key_mask=key_mask)
         attn = nn.Dense(d, name="out_proj")(attn.reshape(b, l, d))
         attn = nn.Dropout(self.p_drop, deterministic=deterministic)(attn)
         x = nn.LayerNorm(name="norm1")(x + attn)
@@ -75,6 +80,7 @@ class SimpleTransformer(nn.Module):
     query_offsets: Tuple[int, int] = (2, 3)
     remat: bool = False                   # rematerialize encoder layers (trade
                                           # FLOPs for HBM at long seq lengths)
+    use_flash: bool = False               # Pallas flash attention (TPU only)
 
     @nn.compact
     def __call__(
@@ -94,7 +100,8 @@ class SimpleTransformer(nn.Module):
             else EncoderLayer
         for i in range(self.nlayers):
             h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
-                          name=f"layer_{i}")(h, attn_mask, deterministic)
+                          self.use_flash, name=f"layer_{i}")(h, attn_mask,
+                                                             deterministic)
 
         # <bos> pooling with masked-mean fallback (train_ibtt.py:114-120)
         maskf = attn_mask.astype(h.dtype)

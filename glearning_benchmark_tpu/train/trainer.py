@@ -89,6 +89,10 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             # remat encoder layers at long sequence lengths: the [B,H,L,L]
             # attention probabilities dominate HBM in the backward pass
             remat=bool(model_cfg.get("remat", seq_len >= 1024)),
+            # Pallas flash attention keeps the [L,S] matrices out of HBM in
+            # both passes (custom VJP) — the dominant traffic at these d's
+            use_flash=bool(model_cfg.get(
+                "use_flash", jax.default_backend() not in ("cpu",))),
         )
     if model_name == "mpnn":
         return MPNN(
