@@ -89,10 +89,12 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             # remat encoder layers at long sequence lengths: the [B,H,L,L]
             # attention probabilities dominate HBM in the backward pass
             remat=bool(model_cfg.get("remat", seq_len >= 1024)),
-            # Pallas flash attention keeps the [L,S] matrices out of HBM in
-            # both passes (custom VJP) — the dominant traffic at these d's
-            use_flash=bool(model_cfg.get(
-                "use_flash", jax.default_backend() not in ("cpu",))),
+            # Pallas flash attention (custom VJP) is available but measured
+            # SLOWER than XLA at this benchmark's head dims (D=4-16 pads to
+            # the 128 lane width, 8x wasted K/V traffic; A/B: 1.43s vs 1.04s
+            # per epoch on ibtt-sp shapes). Opt in via model.use_flash for
+            # long-sequence regimes; head-packed lanes are the planned fix.
+            use_flash=bool(model_cfg.get("use_flash", False)),
         )
     if model_name == "mpnn":
         return MPNN(
