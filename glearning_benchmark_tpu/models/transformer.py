@@ -18,7 +18,7 @@ Query offsets differ by serialization: IBTT queries read
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -30,20 +30,26 @@ _TRUNC = nn.initializers.truncated_normal(stddev=0.02)
 
 class EncoderLayer(nn.Module):
     """Post-LN transformer encoder layer (torch ``TransformerEncoderLayer``
-    default semantics: norm_first=False, ReLU activation)."""
+    default semantics: norm_first=False, ReLU activation).
+
+    ``dtype`` is the compute dtype (bfloat16 on TPU halves the HBM traffic
+    of the L² attention matrices, the measured bottleneck); parameters and
+    LayerNorm statistics stay float32.
+    """
 
     d_model: int
     nhead: int
     d_ff: int
     p_drop: float = 0.1
     use_flash: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool):
         b, l, d = x.shape
         h = self.nhead
         hd = d // h
-        qkv = nn.Dense(3 * d, name="qkv")(x)
+        qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, h, hd)
@@ -53,16 +59,16 @@ class EncoderLayer(nn.Module):
             attn = flash_attention(q, k, v, key_mask)
         else:
             attn = multi_head_attention(q, k, v, key_mask=key_mask)
-        attn = nn.Dense(d, name="out_proj")(attn.reshape(b, l, d))
+        attn = nn.Dense(d, name="out_proj", dtype=self.dtype)(attn.reshape(b, l, d))
         attn = nn.Dropout(self.p_drop, deterministic=deterministic)(attn)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(name="norm1")((x + attn).astype(jnp.float32))
 
-        y = nn.Dense(self.d_ff, name="ff1")(x)
+        y = nn.Dense(self.d_ff, name="ff1", dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
-        y = nn.Dense(d, name="ff2")(y)
+        y = nn.Dense(d, name="ff2", dtype=self.dtype)(y)
         y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
-        return nn.LayerNorm(name="norm2")(x + y)
+        return nn.LayerNorm(name="norm2")((x + y).astype(jnp.float32))
 
 
 class SimpleTransformer(nn.Module):
@@ -81,6 +87,7 @@ class SimpleTransformer(nn.Module):
     remat: bool = False                   # rematerialize encoder layers (trade
                                           # FLOPs for HBM at long seq lengths)
     use_flash: bool = False               # Pallas flash attention (TPU only)
+    compute_dtype: str = "float32"        # 'bfloat16' halves attention traffic
 
     @nn.compact
     def __call__(
@@ -98,10 +105,11 @@ class SimpleTransformer(nn.Module):
                          name="pos")(pos_ids)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) if self.remat \
             else EncoderLayer
+        cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         for i in range(self.nlayers):
             h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
-                          self.use_flash, name=f"layer_{i}")(h, attn_mask,
-                                                             deterministic)
+                          self.use_flash, cdtype,
+                          name=f"layer_{i}")(h, attn_mask, deterministic)
 
         # <bos> pooling with masked-mean fallback (train_ibtt.py:114-120)
         maskf = attn_mask.astype(h.dtype)

@@ -95,6 +95,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             # per epoch on ibtt-sp shapes). Opt in via model.use_flash for
             # long-sequence regimes; head-packed lanes are the planned fix.
             use_flash=bool(model_cfg.get("use_flash", False)),
+            compute_dtype=model_cfg.get("compute_dtype", "float32"),
         )
     if model_name == "mpnn":
         return MPNN(
