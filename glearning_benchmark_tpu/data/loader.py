@@ -201,6 +201,76 @@ def load_graphs_multi_algorithm(
     return graphs
 
 
+def load_examples_connected_nodes(path_glob: str, data_fraction: float = 1.0,
+                                  seed: int = 0) -> List[Dict[str, Any]]:
+    """Connectivity-query loader: '<text> <q> u v <p>' inputs with yes/no
+    labels (reference: data_loader.py:408-449)."""
+    files = sorted(glob(path_glob))
+    out: List[Dict[str, Any]] = []
+    for fp in files:
+        recs = _read_records(fp)
+        if recs and isinstance(recs[0], dict):
+            obj = recs[0]
+        elif recs and isinstance(recs, list):
+            obj = recs[0] if isinstance(recs[0], dict) else None
+        else:
+            obj = None
+        if not isinstance(obj, dict):
+            continue
+        text = obj.get("text")
+        if not isinstance(text, str):
+            toks = obj.get("tokens")
+            text = " ".join(map(str, toks)) if isinstance(toks, list) else None
+        if not text:
+            continue
+        u = obj.get("u", obj.get("src", obj.get("source")))
+        v = obj.get("v", obj.get("dst", obj.get("target")))
+        if (u is None or v is None) and isinstance(obj.get("pair"), (list, tuple)) \
+                and len(obj["pair"]) == 2:
+            u, v = obj["pair"]
+        lab = obj.get("label", obj.get("answer", obj.get("connected")))
+        if isinstance(lab, str):
+            ll = lab.lower().strip()
+            lab = 1 if ll in ("yes", "true", "connected", "reachable") else (
+                0 if ll in ("no", "false", "disconnected", "unreachable") else None)
+        elif isinstance(lab, (int, bool)):
+            lab = int(bool(lab))
+        text_in = (f"{text.strip()} <q> {u} {v} <p>"
+                   if u is not None and v is not None else text.strip())
+        if lab is None:
+            lab = parse_yes_no_from_text(text)
+        out.append({"text": text_in, "label": lab, "u": u, "v": v})
+    if data_fraction < 1.0 and out:
+        rng = random.Random(seed)
+        out = rng.sample(out, max(1, int(len(out) * data_fraction)))
+    return out
+
+
+def resolve_split_globs(root: str, task: str, algorithm: str,
+                        use_split_tasks_dirs: bool = True):
+    """(train_glob, val_glob, test_glob) triple (reference:
+    data_loader.py:499-520)."""
+    return tuple(
+        os.path.join(resolve_split_dir(root, task, algorithm, split,
+                                       use_split_tasks_dirs), "*.json")
+        for split in ("train", "val", "test"))
+
+
+def resolve_multi_algorithm_globs(root: str, task: str, train_algorithms,
+                                  test_algorithm: str,
+                                  use_split_tasks_dirs: bool = True):
+    """(train_globs, val_globs, test_glob) for multi-algorithm setups
+    (reference: data_loader.py:523-585)."""
+    train_globs, val_globs = [], []
+    for algo in train_algorithms:
+        tg, vg, _ = resolve_split_globs(root, task, algo, use_split_tasks_dirs)
+        train_globs.append(tg)
+        val_globs.append(vg)
+    _, _, test_glob = resolve_split_globs(root, task, test_algorithm,
+                                          use_split_tasks_dirs)
+    return train_globs, val_globs, test_glob
+
+
 def determine_num_classes(examples: List[Dict[str, Any]], task: str) -> int:
     """cycle_check -> 2, zinc -> 1, shortest_path -> max label + 1
     (reference: data_loader.py:636-686)."""
@@ -214,6 +284,47 @@ def determine_num_classes(examples: List[Dict[str, Any]], task: str) -> int:
         if isinstance(lab, (int, np.integer)):
             max_label = max(max_label, int(lab))
     return max_label + 1
+
+
+def determine_num_classes_graphs(graphs, task: str) -> int:
+    """Class count from Graph objects (reference determine_num_classes_pyg,
+    data_loader.py:688-738)."""
+    if task == "cycle_check":
+        return 2
+    if task == "zinc":
+        return 1
+    max_label = -1
+    for g in graphs:
+        if isinstance(g.y, (int, np.integer)):
+            max_label = max(max_label, int(g.y))
+    return max_label + 1
+
+
+def get_balanced_indices(graphs, strategy: str = "undersample",
+                         seed: int = 0) -> List[int]:
+    """Balanced index subset for a graph list (reference:
+    data_loader.py:337-405)."""
+    by_label: Dict[Any, List[int]] = {}
+    for i, g in enumerate(graphs):
+        if g.y is not None:
+            by_label.setdefault(int(g.y) if isinstance(g.y, (int, np.integer)) else g.y,
+                                []).append(i)
+    if not by_label:
+        return list(range(len(graphs)))
+    sizes = [len(v) for v in by_label.values()]
+    if strategy == "undersample":
+        target = min(sizes)
+    elif strategy == "median":
+        target = int(np.median(sizes))
+    else:
+        raise ValueError(f"unknown balancing strategy: {strategy}")
+    rng = random.Random(seed)
+    out: List[int] = []
+    for lab in sorted(by_label):
+        idxs = by_label[lab]
+        out.extend(idxs if len(idxs) <= target else rng.sample(idxs, target))
+    rng.shuffle(out)
+    return out
 
 
 def balance_classes(examples: List[Dict[str, Any]], strategy: str = "undersample",

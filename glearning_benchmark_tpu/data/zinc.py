@@ -46,6 +46,12 @@ _SPLIT_SIZES = {"train": 10000, "val": 1000, "test": 1000}
 _SPLIT_SEED = {"train": 0, "val": 1, "test": 2}
 
 
+def get_zinc_num_types():
+    """(num_node_types, num_edge_types) = (9, 4) (reference:
+    zinc_dataset_autograph.py:76-100)."""
+    return ZINC_NUM_ATOM_TYPES, ZINC_NUM_BOND_TYPES
+
+
 def zinc_atom_symbol(idx: int) -> str:
     return _ATOM_SYMBOLS[idx] if 0 <= idx < len(_ATOM_SYMBOLS) else "X"
 
