@@ -144,27 +144,31 @@ def build_ibtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
             [e for v in ex.values() for e in v], task)
 
     pad_id = vocab["<pad>"]
+    packed = {s: encode_texts(texts[s], vocab, max_len=max_len) for s in SPLITS}
+    # per-split buckets: the train split pads only to ITS max (the OOD test
+    # algorithm often has far longer serializations — e.g. er test graphs at
+    # ~600 tokens vs path train graphs at ~200 — and attention cost is L²);
+    # val and test share one bucket because they share a compiled eval fn
+    train_bucket = round_up_to_bucket(max(packed["train"][0].shape[1], 1))
+    eval_bucket = round_up_to_bucket(max(
+        max(packed[s][0].shape[1] if packed[s][0].size else 1 for s in ("val", "test")), 1))
     splits = {}
-    global_bucket = 0
-    packed = {}
     for s in SPLITS:
-        ids, lens = encode_texts(texts[s], vocab, max_len=max_len)
-        packed[s] = (ids, lens)
-        global_bucket = max(global_bucket, round_up_to_bucket(ids.shape[1] if ids.size else 1))
-    for s in SPLITS:
+        bucket = train_bucket if s == "train" else eval_bucket
         ids, lens = packed[s]
         n, l = ids.shape if ids.size else (0, 0)
-        out = np.full((n, global_bucket), pad_id, dtype=np.int32)
+        out = np.full((n, bucket), pad_id, dtype=np.int32)
         if ids.size:
             out[:, :l] = ids
-        mask = np.arange(global_bucket)[None, :] < lens[:, None]
+        mask = np.arange(bucket)[None, :] < lens[:, None]
         splits[s] = {"ids": out, "mask": mask, "y": labels[s]}
 
     q_id = vocab.get("<q>") if task == "shortest_path" else None
     return DatasetBundle(task=task, kind="tokens", splits=splits,
                          num_classes=num_classes, vocab=vocab,
                          vocab_size=len(vocab), q_token_id=q_id,
-                         meta={"max_len": global_bucket, "pad_id": pad_id})
+                         meta={"max_len": max(train_bucket, eval_bucket),
+                               "pad_id": pad_id})
 
 
 # ---------------------------------------------------------------------------
@@ -232,11 +236,16 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
             seqs.append((t, g.y))
         seqs_by_split[s] = seqs
 
-    bucket = 0
+    def split_bucket(names):
+        m = max((len(t) for s in names for t, _ in seqs_by_split[s]), default=1)
+        return round_up_to_bucket(min(m, max_len + 3))
+
+    # per-split buckets (see build_ibtt_dataset): train tight, val/test shared
+    buckets = {"train": split_bucket(["train"]),
+               "val": split_bucket(["val", "test"]),
+               "test": split_bucket(["val", "test"])}
     for s in SPLITS:
-        m = max((len(t) for t, _ in seqs_by_split[s]), default=1)
-        bucket = max(bucket, round_up_to_bucket(min(m, max_len + 3)))
-    for s in SPLITS:
+        bucket = buckets[s]
         seqs = [t for t, _ in seqs_by_split[s]]
         ys = [y for _, y in seqs_by_split[s]]
         ids, mask = pad_sequences(seqs, pad_id=pad_id, max_len=bucket)
@@ -247,6 +256,7 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
         outm[:, :l] = mask
         y = np.array(ys, dtype=np.float32 if is_zinc else np.int32)
         splits[s] = {"ids": out, "mask": outm, "y": y}
+    bucket = max(buckets.values())
 
     all_ex = [{"label": int(y)} for s in SPLITS for _, y in seqs_by_split[s]] \
         if not is_zinc else []
