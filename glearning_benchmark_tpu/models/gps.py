@@ -17,6 +17,8 @@ Pooling and post-MP head follow gnn.head='graph', layers_post_mp=1.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,12 +32,13 @@ class GPSLayer(nn.Module):
     n_heads: int = 4
     dropout: float = 0.0
     attn_dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, adj, mask, deterministic: bool):
         b, n, d = h.shape
         # local MPNN block (GIN)
-        local = GINLayer(self.dim, self.dropout, name="local_gin")(
+        local = GINLayer(self.dim, self.dropout, self.dtype, name="local_gin")(
             h, adj, mask, deterministic)
         local = nn.Dropout(self.dropout, deterministic=deterministic)(local)
         h = h + local
@@ -43,11 +46,11 @@ class GPSLayer(nn.Module):
 
         # global attention block
         hd = d // self.n_heads
-        q = nn.Dense(d, name="q")(h).reshape(b, n, self.n_heads, hd)
-        k = nn.Dense(d, name="k")(h).reshape(b, n, self.n_heads, hd)
-        v = nn.Dense(d, name="v")(h).reshape(b, n, self.n_heads, hd)
+        q = nn.Dense(d, name="q", dtype=self.dtype)(h).reshape(b, n, self.n_heads, hd)
+        k = nn.Dense(d, name="k", dtype=self.dtype)(h).reshape(b, n, self.n_heads, hd)
+        v = nn.Dense(d, name="v", dtype=self.dtype)(h).reshape(b, n, self.n_heads, hd)
         attn = multi_head_attention(q, k, v, key_mask=mask).reshape(b, n, d)
-        attn = nn.Dense(d, name="attn_out")(attn)
+        attn = nn.Dense(d, name="attn_out", dtype=self.dtype)(attn).astype(jnp.float32)
         attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
         h = h + attn
         h = MaskedBatchNorm(name="bn_attn")(h, mask, use_running_average=deterministic)
@@ -73,13 +76,15 @@ class GPSModel(nn.Module):
     pooling: str = "mean"
     num_classes: int = 2
     task: str = "cycle_check"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, node_feat, adj, mask, deterministic: bool = True):
+        cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         h = nn.Dense(self.dim, name="node_encoder")(node_feat)
         for i in range(self.num_layers):
             h = GPSLayer(self.dim, self.n_heads, self.dropout, self.attn_dropout,
-                         name=f"gps_{i}")(h, adj, mask, deterministic)
+                         cdtype, name=f"gps_{i}")(h, adj, mask, deterministic)
         h = h * mask[..., None].astype(h.dtype)
         if self.pooling == "mean":
             g = masked_mean(h, mask)

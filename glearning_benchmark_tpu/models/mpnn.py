@@ -14,6 +14,8 @@ GIN update: h' = MLP((1 + eps) * h + sum_{j in N(i)} h_j), eps learnable
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -60,17 +62,21 @@ class GINLayer(nn.Module):
 
     hidden: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, adj, mask, deterministic: bool):
         eps = self.param("eps", nn.initializers.zeros, ())
-        agg = (1.0 + eps) * h + jnp.einsum("bij,bjf->bif", adj, h)
-        y = nn.Dense(self.hidden, name="mlp1")(agg)
-        y = MaskedBatchNorm(name="mlp_bn")(y, mask, use_running_average=deterministic)
+        agg = (1.0 + eps) * h + jnp.einsum(
+            "bij,bjf->bif", adj.astype(self.dtype), h.astype(self.dtype),
+            preferred_element_type=jnp.float32)
+        y = nn.Dense(self.hidden, name="mlp1", dtype=self.dtype)(agg)
+        y = MaskedBatchNorm(name="mlp_bn")(
+            y.astype(jnp.float32), mask, use_running_average=deterministic)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        y = nn.Dense(self.hidden, name="mlp2")(y)
-        return y
+        y = nn.Dense(self.hidden, name="mlp2", dtype=self.dtype)(y)
+        return y.astype(jnp.float32)
 
 
 class MPNN(nn.Module):
@@ -81,13 +87,15 @@ class MPNN(nn.Module):
     pooling: str = "mean"
     num_classes: int = 2
     task: str = "cycle_check"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, node_feat, adj, mask, deterministic: bool = True):
         """node_feat [B,N,F], adj [B,N,N], mask [B,N] -> logits [B, C]."""
+        cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         h = nn.Dense(self.hidden_dim, name="node_encoder")(node_feat)
         for i in range(self.num_layers):
-            h = GINLayer(self.hidden_dim, self.dropout, name=f"conv_{i}")(
+            h = GINLayer(self.hidden_dim, self.dropout, cdtype, name=f"conv_{i}")(
                 h, adj, mask, deterministic)
             h = MaskedBatchNorm(name=f"bn_{i}")(h, mask, use_running_average=deterministic)
             h = nn.relu(h)

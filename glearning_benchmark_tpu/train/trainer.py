@@ -106,6 +106,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             pooling=model_cfg.get("pooling", "mean"),
             num_classes=bundle.num_classes,
             task=task,
+            compute_dtype=model_cfg.get("compute_dtype", "float32"),
         )
     if model_name == "ggps":
         gt = config.get("gt", {})
@@ -119,6 +120,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             pooling=config.get("model", {}).get("graph_pooling", "mean"),
             num_classes=bundle.num_classes,
             task=task,
+            compute_dtype=config.get("model", {}).get("compute_dtype", "float32"),
         )
     raise ValueError(f"unknown model {model_name!r}")
 
