@@ -95,7 +95,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             # per epoch on ibtt-sp shapes). Opt in via model.use_flash for
             # long-sequence regimes; head-packed lanes are the planned fix.
             use_flash=bool(model_cfg.get("use_flash", False)),
-            compute_dtype=model_cfg.get("compute_dtype", "float32"),
+            compute_dtype=model_cfg.get("compute_dtype", "bfloat16"),
         )
     if model_name == "mpnn":
         return MPNN(
@@ -106,7 +106,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             pooling=model_cfg.get("pooling", "mean"),
             num_classes=bundle.num_classes,
             task=task,
-            compute_dtype=model_cfg.get("compute_dtype", "float32"),
+            compute_dtype=model_cfg.get("compute_dtype", "bfloat16"),
         )
     if model_name == "ggps":
         gt = config.get("gt", {})
@@ -120,7 +120,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             pooling=config.get("model", {}).get("graph_pooling", "mean"),
             num_classes=bundle.num_classes,
             task=task,
-            compute_dtype=config.get("model", {}).get("compute_dtype", "float32"),
+            compute_dtype=config.get("model", {}).get("compute_dtype", "bfloat16"),
         )
     raise ValueError(f"unknown model {model_name!r}")
 
