@@ -99,9 +99,31 @@ def main() -> None:
     for i in range(0, len(sub), 500):
         assert ids[i, : lens[i]].tolist() == ref_out[i], "byte-exactness violated"
 
+    # secondary diagnostic: SENT trail tokenization throughput (AGTT path)
+    sent_line = ""
+    try:
+        from glearning_benchmark_tpu.native import (
+            available as native_ok, sent_tokenize_batch_native)
+        from glearning_benchmark_tpu.tokenization.sent import TrailTokenizer
+        sub_s = mols[:2000]
+        tokz = TrailTokenizer(max_length=max_len, truncation_length=max_len,
+                              labeled_graph=True)
+        tokz.set_num_nodes(max(m.num_nodes for m in sub_s))
+        tokz.set_num_node_and_edge_types(9, 4)
+        if native_ok():
+            t0 = time.perf_counter()
+            sent_tokenize_batch_native(
+                sub_s, tokz.idx_offset, max_len, labeled=True,
+                node_idx_offset=tokz.node_idx_offset,
+                edge_idx_offset=tokz.edge_idx_offset)
+            t_sent = time.perf_counter() - t0
+            sent_line = f" sent_native={len(sub_s) / t_sent:.0f} g/s"
+    except Exception:
+        pass
+
     print(f"[bench] n={n} vocab={len(vocab)} string_vocab_scan={t_vocab:.3f}s "
           f"({vocab_bytes / t_vocab / 1e6:.1f} MB/s) "
-          f"fast={t_fast:.3f}s ref~{t_ref:.3f}s", file=sys.stderr)
+          f"fast={t_fast:.3f}s ref~{t_ref:.3f}s{sent_line}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "zinc_tokenize_graphs_per_sec",
