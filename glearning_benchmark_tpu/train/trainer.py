@@ -306,7 +306,7 @@ class RunLogger:
     def __init__(self, out_dir: str, run_name: str, wandb_cfg: dict, config: dict):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{run_name}_metrics.jsonl")
-        self._f = open(self.path, "a")
+        self._f = open(self.path, "w")  # fresh log per run (reruns/retries otherwise contaminate analysis)
         self.wandb = None
         if wandb_cfg.get("use"):
             try:

@@ -91,7 +91,9 @@ def run_one(name: str, model: str, config_path: str, overrides: dict,
     te = {k: (float(v) if not hasattr(v, "tolist") else None)
           for k, v in res.test_metrics.items() if k != "confusion_matrix"}
     epochs = res.history
-    steady = [h["time/epoch_duration"] for h in epochs[2:]] or \
+    # last half only: with epochs_per_dispatch>1 the first block smears its
+    # compile time across its epochs' durations
+    steady = [h["time/epoch_duration"] for h in epochs[len(epochs) // 2:]] or \
              [h["time/epoch_duration"] for h in epochs]
     out = {
         "model": model,
