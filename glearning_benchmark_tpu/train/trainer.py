@@ -403,7 +403,27 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                 reps = np.zeros((n_eval - n,) + v.shape[1:], dtype=v.dtype)
                 padded[k] = np.concatenate([v, reps], axis=0)
             host_splits[s] = padded
-    dev_splits = {s: {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    # data-parallel sharding: corpus + params replicated, the minibatch
+    # index matrices sharded over 'data' — gathered batches inherit the
+    # sharding, and GSPMD inserts the gradient/metric all-reduces
+    if mesh is not None and batch_size % mesh.shape["data"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _rep = NamedSharding(mesh, P())
+        _sh2 = NamedSharding(mesh, P(None, "data"))
+        _sh3 = NamedSharding(mesh, P(None, None, "data"))
+        put_rep = lambda t: jax.device_put(t, _rep)  # noqa: E731
+        put_idx2 = lambda a: jax.device_put(jnp.asarray(a), _sh2)  # noqa: E731
+        put_idx3 = lambda a: jax.device_put(jnp.asarray(a), _sh3)  # noqa: E731
+        params = put_rep(params)
+        opt_state = put_rep(opt_state)
+        if batch_stats is not None:
+            batch_stats = put_rep(batch_stats)
+    else:
+        put_rep = lambda t: t  # noqa: E731
+        put_idx2 = jnp.asarray
+        put_idx3 = jnp.asarray
+    dev_splits = {s: {k: put_rep(jnp.asarray(v)) for k, v in arrays.items()}
                   for s, arrays in host_splits.items()}
 
     train_ep, eval_ep = make_epoch_fns(model, bundle, tx, task, num_classes)
@@ -454,7 +474,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # rounds UP to a multiple of K to keep a single compiled block shape.
     k_disp = max(1, int(train_cfg.get("epochs_per_dispatch", 1)))
     vidx, vvalid = eval_batches["val"]
-    vidx_d, vvalid_d = jnp.asarray(vidx), jnp.asarray(vvalid)
+    vidx_d, vvalid_d = put_idx2(vidx), put_idx2(vvalid)
 
     epoch = start_epoch
     while epoch <= epochs:
@@ -469,7 +489,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         rng, blk_rng = jax.random.split(rng)
         params, batch_stats, opt_state, tr_k, va_k = train_ep(
             params, batch_stats, opt_state, dev_splits["train"], dev_splits["val"],
-            jnp.asarray(idx_k), jnp.asarray(valid_k), vidx_d, vvalid_d, blk_rng)
+            put_idx3(idx_k), put_idx3(np.ascontiguousarray(valid_k)), vidx_d, vvalid_d, blk_rng)
         tr_k = jax.tree.map(np.asarray, tr_k)
         va_k = jax.tree.map(np.asarray, va_k)
         if epoch in profile_epochs:
@@ -546,7 +566,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     else:
         tidx, tvalid = eval_batches["test"]
         te_stats = eval_ep(params, batch_stats, dev_splits["test"],
-                           jnp.asarray(tidx), jnp.asarray(tvalid))
+                           put_idx2(tidx), put_idx2(tvalid))
         te = _epoch_metrics(te_stats, task, num_classes)
     if task != "zinc" and "confusion_matrix" in te:
         try:
