@@ -59,7 +59,7 @@ def main() -> None:
 
     from glearning_benchmark_tpu.tokenization.ibtt_fast import (
         build_zinc_vocab_fast,
-        corpus_ids_vectorized,
+        corpus_ids_best,
         flatten_zinc_corpus,
     )
 
@@ -73,7 +73,7 @@ def main() -> None:
     for _ in range(reps):
         flat = flatten_zinc_corpus(mols)
         vocab = build_zinc_vocab_fast(mols, flat=flat)
-        ids, lens = corpus_ids_vectorized(mols, vocab, max_len=max_len, flat=flat)
+        ids, lens = corpus_ids_best(mols, vocab, max_len=max_len, flat=flat)
         packed, mask = pack_corpus(ids, lens, pad_id=vocab["<pad>"])
     t_fast = (time.perf_counter() - t0) / reps
     graphs_per_sec = n / t_fast

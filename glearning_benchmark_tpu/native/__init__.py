@@ -58,6 +58,13 @@ def get_lib():
         i32p, i32p, i32p, i64p, i32p, i32p, i64p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.gtok_zinc_encode.restype = ctypes.c_int32
+    lib.gtok_zinc_encode.argtypes = [
+        i32p, i64p, i32p, i32p, i32p, i64p, ctypes.c_int32,
+        i32p, i32p, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, u8p]
     _lib = lib
     return _lib
 
@@ -124,6 +131,51 @@ def encode_texts_native(
         raise RuntimeError(f"gtok_encode_texts failed: {rc}")
     l = int(lens.max()) if len(texts) else 0
     return ids[:, :l].copy(), lens
+
+
+def zinc_encode_native(flat, vocab, max_len: int = 1024):
+    """Native whole-corpus ZINC IBTT encode over flat arrays (see
+    tokenization.ibtt_fast.flatten_zinc_corpus). Returns (ids, lens,
+    trunc_mask); rows flagged in trunc_mask need the exact scalar-path
+    patch. Requires lexsorted directed edges (caller checks)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    from ..data.zinc import zinc_atom_symbol, zinc_bond_name
+
+    b = len(flat["n_nodes"])
+    pad = vocab["<pad>"]
+    atom_ids = np.asarray([vocab.get(zinc_atom_symbol(i), pad) for i in range(9)],
+                          dtype=np.int32)
+    bond_ids = np.asarray([pad] + [vocab.get(zinc_bond_name(x), pad)
+                                   for x in range(1, 5)], dtype=np.int32)
+    max_nodes = int(flat["n_nodes"].max()) if b else 0
+    index_ids = np.asarray([vocab.get(str(i), pad) for i in range(max_nodes + 1)],
+                           dtype=np.int32)
+    tail_ids = np.asarray([vocab["<q>"], vocab["regression"], vocab["<p>"],
+                           vocab["<atom>"], vocab["<bond>"]], dtype=np.int32)
+    # upper bound for l_max: 1 + 2N + 4*(E/2) + 3
+    n = flat["n_nodes"]
+    e = flat["n_edges"]
+    l_max = int((1 + 2 * n + 2 * e + 3).max()) if b else 1
+    atoms = np.ascontiguousarray(flat["atoms"].astype(np.int32))
+    src = np.ascontiguousarray(flat["src"].astype(np.int32))
+    dst = np.ascontiguousarray(flat["dst"].astype(np.int32))
+    bond = np.ascontiguousarray(flat["bond"].astype(np.int32))
+    node_off = np.ascontiguousarray(flat["node_off"].astype(np.int64))
+    edge_off = np.ascontiguousarray(flat["edge_off"].astype(np.int64))
+    out = np.empty((b, l_max), dtype=np.int32)
+    lens = np.empty(b, dtype=np.int32)
+    trunc = np.empty(b, dtype=np.uint8)
+    rc = lib.gtok_zinc_encode(
+        _i32p(atoms), _i64p(node_off), _i32p(src), _i32p(dst), _i32p(bond),
+        _i64p(edge_off), b, _i32p(atom_ids), _i32p(bond_ids), _i32p(index_ids),
+        _i32p(tail_ids), max_len, pad, vocab["<bos>"], l_max,
+        _i32p(out), _i32p(lens), trunc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"gtok_zinc_encode failed: {rc}")
+    true_max = int(lens.max()) if b else 0
+    return out[:, :true_max], lens, trunc.astype(bool)
 
 
 def sent_tokenize_batch_native(

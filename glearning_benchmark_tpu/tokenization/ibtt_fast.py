@@ -63,15 +63,21 @@ def flatten_zinc_corpus(mols: Sequence[Graph]) -> Dict[str, np.ndarray]:
 
 
 def _edges_lexsorted_per_mol(flat: Dict[str, np.ndarray]) -> bool:
+    cached = flat.get("_lexsorted")
+    if cached is not None:
+        return bool(cached)
     src, dst, eo = flat["src"], flat["dst"], flat["edge_off"]
     if src.size == 0:
+        flat["_lexsorted"] = True
         return True
     key = src * (dst.max() + 2) + dst
     nondec = key[1:] >= key[:-1]
     # positions where a new molecule starts are allowed to decrease
     starts = np.zeros(src.size, dtype=bool)
     starts[eo[1:-1]] = True
-    return bool(np.all(nondec | starts[1:]))
+    result = bool(np.all(nondec | starts[1:]))
+    flat["_lexsorted"] = result
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +251,31 @@ def _patch_truncated(ids, lens, trunc, mols, vocab, max_len, pad):
             ids[i, sub_lens[t]:] = pad
             lens[i] = sub_lens[t]
     return ids, l_max, lens
+
+
+def corpus_ids_best(
+    mols: Sequence[Graph],
+    vocab: Dict[str, int],
+    max_len: int = 1024,
+    flat: Dict[str, np.ndarray] | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fastest available host path: native C++ single-pass encode when the
+    library is built and edges are lexsorted, numpy-vectorized otherwise.
+    Byte-exact with the scalar path either way (truncated rows patched)."""
+    if flat is None:
+        flat = flatten_zinc_corpus(mols)
+    try:
+        from ..native import available as _ok, zinc_encode_native
+        use_native = _ok()
+    except Exception:
+        use_native = False
+    if not use_native or not _edges_lexsorted_per_mol(flat):
+        return corpus_ids_vectorized(mols, vocab, max_len=max_len, flat=flat)
+    ids, lens, trunc = zinc_encode_native(flat, vocab, max_len=max_len)
+    if trunc.any():
+        ids, _, lens = _patch_truncated(ids, lens, trunc, mols, vocab, max_len,
+                                        np.int32(vocab["<pad>"]))
+    return ids, lens
 
 
 # ---------------------------------------------------------------------------

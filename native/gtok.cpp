@@ -219,4 +219,53 @@ int32_t gtok_sent_tokenize_batch(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// ZINC IBTT corpus encode (flat arrays -> padded id matrix)
+// ---------------------------------------------------------------------------
+
+// Byte-exact with tokenization.ibtt_fast.corpus_ids_vectorized for
+// lexsorted directed edge lists (PyG layout): per molecule emits
+//   <bos> (<atom> sym)*N (<bond> type u v)*E' <q> regression <p>
+// stripped at '<p>', with string-path-equivalent truncation handled by the
+// caller (rows whose full length exceeds max_len must be patched in Python;
+// out_trunc flags them). Canonical dedup keeps edges with src < dst.
+int32_t gtok_zinc_encode(
+    const int32_t* atoms, const int64_t* node_off,
+    const int32_t* src, const int32_t* dst, const int32_t* bond,
+    const int64_t* edge_off, int32_t n_mols,
+    const int32_t* atom_ids /*[9]*/, const int32_t* bond_ids /*[5], 1-based*/,
+    const int32_t* index_ids /*[max_nodes+1]*/,
+    const int32_t* tail_ids /*[5]: q, regress, p, <atom>, <bond>*/,
+    int32_t max_len, int32_t pad_id, int32_t bos_id, int32_t l_max,
+    int32_t* out_ids /*[n_mols * l_max]*/, int32_t* out_lens,
+    uint8_t* out_trunc) {
+  for (int32_t mol = 0; mol < n_mols; ++mol) {
+    int64_t ns = node_off[mol], ne = node_off[mol + 1];
+    int64_t es = edge_off[mol], ee = edge_off[mol + 1];
+    int32_t* row = out_ids + static_cast<int64_t>(mol) * l_max;
+    int32_t pos = 0;
+    row[pos++] = bos_id;
+    for (int64_t i = ns; i < ne; ++i) {
+      row[pos++] = tail_ids[3];  // <atom> marker
+      int32_t a = atoms[i];
+      row[pos++] = atom_ids[(a >= 0 && a < 9) ? a : 0];
+    }
+    for (int64_t i = es; i < ee; ++i) {
+      if (src[i] >= dst[i]) continue;  // canonical dedup (lexsorted input)
+      row[pos++] = tail_ids[4];  // <bond> marker
+      int32_t b = bond[i];
+      row[pos++] = bond_ids[(b >= 1 && b <= 4) ? b : 0];
+      row[pos++] = index_ids[src[i]];
+      row[pos++] = index_ids[dst[i]];
+    }
+    row[pos++] = tail_ids[0];  // <q>
+    row[pos++] = tail_ids[1];  // regression
+    row[pos++] = tail_ids[2];  // <p>
+    out_lens[mol] = pos;
+    out_trunc[mol] = (pos + 2 > max_len) ? 1 : 0;  // +label+<eos>
+    for (int32_t i = pos; i < l_max; ++i) row[i] = pad_id;
+  }
+  return 0;
+}
+
 }  // extern "C"
