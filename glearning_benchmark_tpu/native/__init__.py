@@ -65,6 +65,11 @@ def get_lib():
         i32p, i32p, i32p, i32p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, u8p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gtok_zinc_vocab_stream.restype = ctypes.c_int32
+    lib.gtok_zinc_vocab_stream.argtypes = [
+        i32p, i32p, i64p, f64p, ctypes.c_int32, ctypes.c_int32,
+        i64p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -131,6 +136,35 @@ def encode_texts_native(
         raise RuntimeError(f"gtok_encode_texts failed: {rc}")
     l = int(lens.max()) if len(texts) else 0
     return ids[:, :l].copy(), lens
+
+
+def zinc_vocab_stream_native(flat):
+    """Dynamic-token codes in first-occurrence order + label strings.
+
+    Returns (codes int64 array, label_strs list). Codes <= max_nodes are node
+    indices; codes > max_nodes are max_nodes+1+label_rank. Semantics of
+    tokenization.ibtt_fast.build_zinc_vocab_fast's discovery stage."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    b = len(flat["n_nodes"])
+    max_nodes = int(flat["n_nodes"].max()) if b else 0
+    src = np.ascontiguousarray(flat["src"].astype(np.int32))
+    dst = np.ascontiguousarray(flat["dst"].astype(np.int32))
+    edge_off = np.ascontiguousarray(flat["edge_off"].astype(np.int64))
+    y = np.ascontiguousarray(flat["y"].astype(np.float64))
+    cap = max_nodes + 2 + b  # node indices + one label per molecule, upper bound
+    codes = np.empty(cap, dtype=np.int64)
+    blob = ctypes.create_string_buffer(b * 24 + 16)
+    n = lib.gtok_zinc_vocab_stream(
+        _i32p(src), _i32p(dst), _i64p(edge_off),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), b, max_nodes,
+        _i64p(codes), cap, blob, len(blob))
+    if n < 0:
+        raise RuntimeError("gtok_zinc_vocab_stream buffer overflow")
+    labels = blob.value.decode("utf-8").split("\n")
+    labels = [s for s in labels if s]
+    return codes[:n], labels
 
 
 def zinc_encode_native(flat, vocab, max_len: int = 1024):

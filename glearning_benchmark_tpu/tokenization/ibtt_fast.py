@@ -112,6 +112,18 @@ def build_zinc_vocab_fast(mols: Sequence[Graph],
         texts = [tokenize_zinc_molecule(m) for m in mols]
         return extend_vocab_with_dynamic_tokens(fixed, collect_dynamic_tokens(texts, fixed))
 
+    try:
+        from ..native import available as _native_ok, zinc_vocab_stream_native
+        if _native_ok():
+            codes, label_strs = zinc_vocab_stream_native(flat)
+            max_nodes = int(flat["n_nodes"].max()) if len(mols) else 0
+            dynamic = [str(int(c)) if c <= max_nodes
+                       else label_strs[int(c) - max_nodes - 1] for c in codes]
+            fixed, _ = build_fixed_zinc_vocab()
+            return extend_vocab_with_dynamic_tokens(fixed, dynamic)
+    except Exception:
+        pass
+
     keep = flat["src"] < flat["dst"]
     max_nodes = int(flat["n_nodes"].max()) if len(mols) else 0
 

@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -266,6 +267,72 @@ int32_t gtok_zinc_encode(
     for (int32_t i = pos; i < l_max; ++i) row[i] = pad_id;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ZINC dynamic-vocab discovery
+// ---------------------------------------------------------------------------
+
+// Emits the dynamic (out-of-fixed-vocab) tokens of the ZINC IBTT corpus in
+// first-occurrence order: per molecule, node-index tokens in canonical bond
+// emission order (str(u), str(v) per kept edge), then the molecule's
+// 'val_*' label. Mirrors tokenization.ibtt_fast.build_zinc_vocab_fast.
+// Outputs: out_codes[k] = node index i (code i) or max_nodes+1+label_rank;
+// label strings are returned as a '\n'-joined blob in label rank order.
+// Returns the number of ordered unique codes, or -1 if bufs are too small.
+int32_t gtok_zinc_vocab_stream(
+    const int32_t* src, const int32_t* dst, const int64_t* edge_off,
+    const double* y, int32_t n_mols, int32_t max_nodes,
+    int64_t* out_codes, int32_t out_codes_cap,
+    char* label_blob, int64_t label_blob_cap) {
+  std::unordered_map<std::string, int32_t> label_rank;
+  std::vector<std::string> labels;
+  std::unordered_set<int64_t> seen;
+  int32_t n_out = 0;
+  int64_t blob_len = 0;
+  char buf[64];
+
+  auto emit = [&](int64_t code) -> bool {
+    if (seen.count(code)) return true;
+    seen.insert(code);
+    if (n_out >= out_codes_cap) return false;
+    out_codes[n_out++] = code;
+    return true;
+  };
+
+  for (int32_t mol = 0; mol < n_mols; ++mol) {
+    for (int64_t i = edge_off[mol]; i < edge_off[mol + 1]; ++i) {
+      if (src[i] >= dst[i]) continue;
+      if (!emit(src[i]) || !emit(dst[i])) return -1;
+    }
+    // label token: f"val_{y:.2f}" with '.'->'_' and '-'->'neg'
+    std::snprintf(buf, sizeof(buf), "%.2f", y[mol]);
+    std::string s = "val_";
+    for (const char* p = buf; *p; ++p) {
+      if (*p == '.') s += '_';
+      else if (*p == '-') s += "neg";
+      else s += *p;
+    }
+    auto it = label_rank.find(s);
+    int32_t rank;
+    if (it == label_rank.end()) {
+      rank = static_cast<int32_t>(labels.size());
+      label_rank.emplace(s, rank);
+      labels.push_back(s);
+    } else {
+      rank = it->second;
+    }
+    if (!emit(static_cast<int64_t>(max_nodes) + 1 + rank)) return -1;
+  }
+
+  for (const auto& s : labels) {
+    if (blob_len + static_cast<int64_t>(s.size()) + 1 > label_blob_cap) return -1;
+    std::memcpy(label_blob + blob_len, s.data(), s.size());
+    blob_len += s.size();
+    label_blob[blob_len++] = '\n';
+  }
+  if (blob_len < label_blob_cap) label_blob[blob_len] = '\0';
+  return n_out;
 }
 
 }  // extern "C"
