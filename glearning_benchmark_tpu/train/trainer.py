@@ -349,6 +349,21 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     n_train = bundle.n("train")
     if n_train == 0:
         raise RuntimeError("No training examples found. Did you run the task generator?")
+    if verbose:
+        print(f"#train: {n_train} | #val: {bundle.n('val')} | #test: {bundle.n('test')}")
+        if task != "zinc" and bundle.kind == "graphs":
+            # example-graph logging (reference train_mpnn.py:240-285)
+            try:
+                from ..data.loader import load_graphs_multi_algorithm
+                from .viz import log_graph_examples
+                gs = load_graphs_multi_algorithm(
+                    dataset_cfg.get("graph_token_root", "graph-token"), task,
+                    dataset_cfg.get("train_algorithms", [])[:1], "train",
+                    num_graphs=1, num_pairs_per_graph=1, seed=seed)
+                if gs:
+                    print(log_graph_examples(gs, task=task, num_examples=1))
+            except Exception:
+                pass
     num_classes = bundle.num_classes
     model = build_model(model_name, config, bundle)
 
