@@ -41,6 +41,66 @@ from ..tokenization.vocab import (
 SPLITS = ("train", "val", "test")
 
 
+# ---------------------------------------------------------------------------
+# content-addressed dataset cache (the reference caches processed tensors
+# under <root>/processed/<config-key>/data.pt — nativegraph.py:195-207;
+# here the key is a stable hash of the full build configuration)
+# ---------------------------------------------------------------------------
+
+def _cache_path(model_name: str, dataset_cfg: dict, seed: int, limit) -> Optional[str]:
+    import json as _json
+
+    from ..utils.hashing import stable_hash
+
+    root = dataset_cfg.get("graph_token_root") or dataset_cfg.get("zinc_root")
+    if not root:
+        return None
+    key_src = _json.dumps({"model": model_name, "cfg": dataset_cfg,
+                           "seed": seed, "limit": limit}, sort_keys=True,
+                          default=str)
+    return os.path.join(root, "processed",
+                        f"{model_name}_{dataset_cfg.get('task')}_{stable_hash(key_src):016x}")
+
+
+def _save_bundle(path: str, bundle: DatasetBundle) -> None:
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    arrays = {f"{s}__{k}": v for s, arr in bundle.splits.items()
+              for k, v in arr.items()}
+    np.savez_compressed(os.path.join(path, "data.npz"), **arrays)
+    meta = {"task": bundle.task, "kind": bundle.kind,
+            "num_classes": bundle.num_classes, "vocab": bundle.vocab,
+            "vocab_size": bundle.vocab_size, "q_token_id": bundle.q_token_id,
+            "in_dim": bundle.in_dim, "meta": bundle.meta}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+
+
+def _load_bundle(path: str) -> Optional[DatasetBundle]:
+    import json as _json
+
+    npz_path = os.path.join(path, "data.npz")
+    meta_path = os.path.join(path, "meta.json")
+    if not (os.path.isfile(npz_path) and os.path.isfile(meta_path)):
+        return None
+    try:
+        z = np.load(npz_path)
+        splits: Dict[str, Dict[str, np.ndarray]] = {s: {} for s in SPLITS}
+        for key in z.files:
+            s, k = key.split("__", 1)
+            splits[s][k] = z[key]
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        return DatasetBundle(task=meta["task"], kind=meta["kind"], splits=splits,
+                             num_classes=meta["num_classes"], vocab=meta["vocab"],
+                             vocab_size=meta["vocab_size"],
+                             q_token_id=meta["q_token_id"], in_dim=meta["in_dim"],
+                             meta=meta["meta"])
+    except Exception:
+        return None
+
+
 @dataclass
 class DatasetBundle:
     task: str

@@ -127,13 +127,29 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
 
 def build_dataset(model_name: str, dataset_cfg: dict, seed: int,
                   limit: Optional[int] = None) -> DatasetBundle:
+    from .datasets import _cache_path, _load_bundle, _save_bundle
+
+    cache = bool(dataset_cfg.get("cache", True))
+    path = _cache_path(model_name, dataset_cfg, seed, limit) if cache else None
+    if path is not None:
+        cached = _load_bundle(path)
+        if cached is not None:
+            return cached
+
     if model_name == "ibtt":
-        return build_ibtt_dataset(dataset_cfg, seed, limit=limit)
-    if model_name == "agtt":
-        return build_agtt_dataset(dataset_cfg, seed, limit=limit)
-    if model_name in ("mpnn", "ggps"):
-        return build_graph_dataset(dataset_cfg, seed, limit=limit)
-    raise ValueError(f"unknown model {model_name!r}")
+        bundle = build_ibtt_dataset(dataset_cfg, seed, limit=limit)
+    elif model_name == "agtt":
+        bundle = build_agtt_dataset(dataset_cfg, seed, limit=limit)
+    elif model_name in ("mpnn", "ggps"):
+        bundle = build_graph_dataset(dataset_cfg, seed, limit=limit)
+    else:
+        raise ValueError(f"unknown model {model_name!r}")
+    if path is not None:
+        try:
+            _save_bundle(path, bundle)
+        except Exception:
+            pass
+    return bundle
 
 
 # ---------------------------------------------------------------------------
