@@ -88,11 +88,15 @@ def main() -> None:
     assert vocab_str == vocab, "fast vocab diverged from string-path vocab"
     vocab_bytes = sum(len(t) for t in texts_for_vocab)
 
-    # reference-style baseline on a subsample (it is slow), extrapolated
+    # reference-style baseline on a subsample (it is slow), extrapolated;
+    # best-of-3 so host noise doesn't understate the baseline
     sub = mols[: min(2000, n)]
-    t0 = time.perf_counter()
-    ref_out = _reference_style_pipeline(sub, vocab, max_len)
-    t_ref = (time.perf_counter() - t0) * (n / len(sub))
+    t_ref_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ref_out = _reference_style_pipeline(sub, vocab, max_len)
+        t_ref_best = min(t_ref_best, time.perf_counter() - t0)
+    t_ref = t_ref_best * (n / len(sub))
     ref_graphs_per_sec = n / t_ref
 
     # sanity: byte-exact vs the reference algorithm's output
