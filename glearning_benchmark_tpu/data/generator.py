@@ -281,10 +281,81 @@ def shortest_path_records(g: Graph, max_classes: int = MAX_PATH_CLASSES,
     return recs
 
 
+def reachability_records(g: Graph, max_pairs: Optional[int] = 16,
+                         seed: int = 0) -> List[dict]:
+    """'<q> u v <p> yes|no' (graph-token Reachability,
+    docs/synthetic_data.md:31)."""
+    dist = all_pairs_distances(g)
+    iu, iv = np.triu_indices(g.num_nodes, k=1)
+    if max_pairs is not None and iu.shape[0] > max_pairs:
+        rng = np.random.default_rng(seed)
+        sel = np.sort(rng.choice(iu.shape[0], size=max_pairs, replace=False))
+        iu, iv = iu[sel], iv[sel]
+    recs = []
+    for u, v in zip(iu.tolist(), iv.tolist()):
+        label = "yes" if dist[u, v] > 0 else "no"
+        recs.append({"text": graph_to_text(g.edges, g.num_nodes,
+                                           f"{u} {v}", label)})
+    return recs
+
+
+def edge_existence_records(g: Graph, max_pairs: Optional[int] = 16,
+                           seed: int = 0) -> List[dict]:
+    """'<q> u v <p> yes|no' (graph-token EdgeExistence)."""
+    has_edge = set(tuple(sorted(map(int, e))) for e in g.edges)
+    iu, iv = np.triu_indices(g.num_nodes, k=1)
+    if max_pairs is not None and iu.shape[0] > max_pairs:
+        rng = np.random.default_rng(seed)
+        sel = np.sort(rng.choice(iu.shape[0], size=max_pairs, replace=False))
+        iu, iv = iu[sel], iv[sel]
+    recs = []
+    for u, v in zip(iu.tolist(), iv.tolist()):
+        label = "yes" if (u, v) in has_edge else "no"
+        recs.append({"text": graph_to_text(g.edges, g.num_nodes,
+                                           f"{u} {v}", label)})
+    return recs
+
+
+def node_degree_records(g: Graph, max_pairs: Optional[int] = 16,
+                        seed: int = 0) -> List[dict]:
+    """'<q> u <p> dK' (graph-token NodeDegree)."""
+    deg = g.degrees()
+    nodes = np.arange(g.num_nodes)
+    if max_pairs is not None and nodes.shape[0] > max_pairs:
+        rng = np.random.default_rng(seed)
+        nodes = np.sort(rng.choice(nodes, size=max_pairs, replace=False))
+    return [{"text": graph_to_text(g.edges, g.num_nodes, str(int(u)),
+                                   f"d{int(deg[u])}")}
+            for u in nodes.tolist()]
+
+
+def node_count_records(g: Graph, max_pairs: Optional[int] = None,
+                       seed: int = 0) -> List[dict]:
+    """'<q> node_count <p> nK' (graph-token NodeCount)."""
+    return [{"text": graph_to_text(g.edges, g.num_nodes, "node_count",
+                                   f"n{g.num_nodes}")}]
+
+
+def triangle_count_records(g: Graph, max_pairs: Optional[int] = None,
+                           seed: int = 0) -> List[dict]:
+    """'<q> triangle_count <p> tK' (graph-token TriangleCounting)."""
+    a = g.adjacency()
+    tri = int(round(np.trace(a @ a @ a) / 6.0))
+    return [{"text": graph_to_text(g.edges, g.num_nodes, "triangle_count",
+                                   f"t{tri}")}]
+
+
 _TASK_EMITTERS = {
     "cycle_check": cycle_check_records,
     "shortest_path": shortest_path_records,
+    "reachability": reachability_records,
+    "edge_existence": edge_existence_records,
+    "node_degree": node_degree_records,
+    "node_count": node_count_records,
+    "triangle_count": triangle_count_records,
 }
+
+TASKS = tuple(_TASK_EMITTERS)
 
 
 def graph_seed(base_seed: int, algorithm: str, split: str, index: int) -> int:

@@ -22,17 +22,50 @@ import numpy as np
 from ..utils.hashing import stable_hash
 from .graphs import Graph
 from .text_grammar import (
+    parse_count_label_from_text,
     parse_distance_label_from_text,
+    parse_pair_query_from_text,
     parse_query_nodes_from_text,
+    parse_single_query_from_text,
     parse_yes_no_from_text,
     text_record_to_graph,
 )
 
+# task families beyond the reference's exercised pair (grammar per
+# reference docs/synthetic_data.md:22-42)
+from .text_grammar import COUNT_TASKS, PAIR_QUERY_BINARY_TASKS  # noqa: E402
+
+
+def _parse_task_label_query(t: str, task: str):
+    """(label, query_nodes) for the extended task families."""
+    if task in PAIR_QUERY_BINARY_TASKS:
+        return parse_yes_no_from_text(t), parse_pair_query_from_text(t)
+    if task in COUNT_TASKS:
+        lab = parse_count_label_from_text(t, COUNT_TASKS[task])
+        q = None
+        if task == "node_degree":
+            u = parse_single_query_from_text(t)
+            q = (u, u) if u is not None else None
+        return lab, q
+    return None, None
+
 
 def _extract_text_and_label(rec: Any, task: str):
     """(text, label, query_nodes) from a record of any supported shape
-    (reference: data_loader.py:57-110)."""
+    (reference: data_loader.py:57-110; extended task grammars on top)."""
     query_nodes = None
+    if task in PAIR_QUERY_BINARY_TASKS or task in COUNT_TASKS:
+        t = None
+        if isinstance(rec, str):
+            t = rec.strip()
+        elif isinstance(rec, dict):
+            t = rec.get("text") or rec.get("sequence")
+        elif isinstance(rec, list) and all(isinstance(x, (str, int)) for x in rec):
+            t = " ".join(map(str, rec))
+        if not isinstance(t, str):
+            return None, None, None
+        lab, q = _parse_task_label_query(t, task)
+        return t.strip(), lab, q
     if isinstance(rec, str):
         t = rec.strip()
     elif isinstance(rec, dict):

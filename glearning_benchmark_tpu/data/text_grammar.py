@@ -79,6 +79,49 @@ def parse_query_nodes_from_text(text: str) -> Optional[Tuple[int, int]]:
     return None
 
 
+PAIR_QUERY_BINARY_TASKS = ("reachability", "edge_existence")
+COUNT_TASKS = {"node_degree": "d", "node_count": "n", "triangle_count": "t"}
+
+
+def parse_count_label_from_text(text: str, prefix: str) -> Optional[int]:
+    """'<p> d3' -> 3 for prefix 'd' (node_degree / node_count / triangle
+    count grammars: dK, nK, tK)."""
+    toks = text.split()
+    for i, tok in enumerate(toks):
+        if tok == "<p>" and i + 1 < len(toks):
+            lab = toks[i + 1]
+            if lab.lower().startswith(prefix) and len(lab) > len(prefix):
+                try:
+                    return int(lab[len(prefix):])
+                except ValueError:
+                    pass
+    return None
+
+
+def parse_pair_query_from_text(text: str) -> Optional[Tuple[int, int]]:
+    """'<q> u v <p>' -> (u, v) (reachability / edge_existence grammars)."""
+    toks = text.split()
+    for i, tok in enumerate(toks):
+        if tok == "<q>" and i + 2 < len(toks):
+            try:
+                return int(toks[i + 1]), int(toks[i + 2])
+            except ValueError:
+                return None
+    return None
+
+
+def parse_single_query_from_text(text: str) -> Optional[int]:
+    """'<q> u <p>' -> u (node_degree grammar)."""
+    toks = text.split()
+    for i, tok in enumerate(toks):
+        if tok == "<q>" and i + 1 < len(toks):
+            try:
+                return int(toks[i + 1])
+            except ValueError:
+                return None
+    return None
+
+
 def parse_cycle_label_from_text(text: str) -> Optional[int]:
     """'<p> yes|no' -> 1|0 (reference: nativegraph.py:99-117)."""
     toks = text.split()
@@ -142,6 +185,23 @@ def text_record_to_graph(text: str, task: str, label=None) -> Optional[Graph]:
         if q is None or label is None:
             return None
         qu, qv = q
+    elif task in PAIR_QUERY_BINARY_TASKS:
+        if label is None:
+            label = parse_yes_no_from_text(text)
+        q = parse_pair_query_from_text(text)
+        if q is None or label is None:
+            return None
+        qu, qv = q
+    elif task in COUNT_TASKS:
+        if label is None:
+            label = parse_count_label_from_text(text, COUNT_TASKS[task])
+        if label is None:
+            return None
+        if task == "node_degree":
+            u = parse_single_query_from_text(text)
+            if u is None:
+                return None
+            qu = qv = u
     else:
         if label is None:
             label = parse_cycle_label_from_text(text)

@@ -226,7 +226,8 @@ def build_ibtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
         mask = np.arange(bucket)[None, :] < lens[:, None]
         splits[s] = {"ids": out, "mask": mask, "y": labels[s]}
 
-    q_id = vocab.get("<q>") if task == "shortest_path" else None
+    query_tasks = ("shortest_path", "reachability", "edge_existence", "node_degree")
+    q_id = vocab.get("<q>") if task in query_tasks else None
     return DatasetBundle(task=task, kind="tokens", splits=splits,
                          num_classes=num_classes, vocab=vocab,
                          vocab_size=len(vocab), q_token_id=q_id,
@@ -294,7 +295,8 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
         for g, t in zip(gs, raw):
             if is_zinc:
                 t = tok.remap_zinc_tokens(t, fixed)
-            if task == "shortest_path" and g.query_u is not None:
+            if task in ("shortest_path", "reachability", "edge_existence",
+                        "node_degree") and g.query_u is not None:
                 t = tok.append_query(t, g.query_u, g.query_v)
             seqs.append((t, g.y))
         seqs_by_split[s] = seqs
@@ -324,7 +326,7 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
     all_ex = [{"label": int(y)} for s in SPLITS for _, y in seqs_by_split[s]] \
         if not is_zinc else []
     num_classes = 1 if is_zinc else determine_num_classes(all_ex, task)
-    q_id = tok.query_token_id if task == "shortest_path" else None
+    q_id = tok.query_token_id if task in ("shortest_path", "reachability", "edge_existence", "node_degree") else None
     return DatasetBundle(task=task, kind="tokens", splits=splits,
                          num_classes=num_classes, vocab=None,
                          vocab_size=vocab_size, q_token_id=q_id,
@@ -350,7 +352,7 @@ def build_graph_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = Non
             graphs = {s: v[:limit] for s, v in graphs.items()}
 
     n_max = max(g.num_nodes for s in SPLITS for g in graphs[s])
-    query_encoding = task == "shortest_path"
+    query_encoding = task in ("shortest_path", "reachability", "edge_existence", "node_degree")
     node_feat_mode = "labels" if is_zinc else "const"
     label_dtype = np.float32 if is_zinc else np.int32
 

@@ -75,8 +75,10 @@ def format_confusion_matrix(cm: np.ndarray, task: str = "cycle_check") -> str:
     """Text confusion-matrix table (reference: metrics.py:155-182)."""
     if task == "cycle_check":
         labels = ["No", "Yes"]
-    else:
+    elif task == "shortest_path":
         labels = [f"len{i+1}" for i in range(cm.shape[0])]
+    else:
+        labels = [f"c{i}" for i in range(cm.shape[0])]
     header = "Confusion Matrix:\nPredicted →\nActual ↓  " + \
         "  ".join(f"{l:>6}" for l in labels) + "\n"
     rows = []

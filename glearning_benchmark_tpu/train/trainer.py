@@ -61,17 +61,25 @@ class TrainResult:
 # model construction
 # ---------------------------------------------------------------------------
 
+QUERY_TASKS = ("shortest_path", "reachability", "edge_existence", "node_degree")
+
+
 def build_model(model_name: str, config: dict, bundle: DatasetBundle):
     model_cfg = config.get("model", {})
     task = bundle.task
-    use_query = task == "shortest_path"
+    use_query = task in QUERY_TASKS
     if model_name in ("ibtt", "agtt"):
         if model_name == "ibtt":
             bos_id = SPECIAL.index("<bos>")
-            offsets = (2, 3)  # '<q> shortest_distance u v'
+            if task == "shortest_path":
+                offsets = (2, 3)  # '<q> shortest_distance u v'
+            elif task == "node_degree":
+                offsets = (1, 1)  # '<q> u'
+            else:
+                offsets = (1, 2)  # '<q> u v'
         else:
             bos_id = bundle.meta.get("bos_id", 0)
-            offsets = (1, 2)  # '<q> u v'
+            offsets = (1, 2)  # trail-appended '<q> u v'
         seq_len = bundle.meta.get("max_len", 0)
         return SimpleTransformer(
             vocab_size=bundle.vocab_size,

@@ -1,0 +1,79 @@
+"""Extended task families beyond the reference's exercised pair:
+reachability, edge_existence, node_degree, node_count, triangle_count
+(grammar per reference docs/synthetic_data.md:22-42)."""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from glearning_benchmark_tpu.data import generator as G
+from glearning_benchmark_tpu.data.loader import load_examples_multi_algorithm
+from glearning_benchmark_tpu.data.text_grammar import text_record_to_graph
+from glearning_benchmark_tpu.train.trainer import train
+
+
+def test_task_oracles():
+    g = G.generate_graph("er", 5)
+    # reachability agrees with BFS
+    recs = G.reachability_records(g, max_pairs=10, seed=0)
+    d = G.all_pairs_distances(g)
+    for r in recs:
+        gg = text_record_to_graph(r["text"], task="reachability")
+        assert gg.y == int(d[gg.query_u, gg.query_v] > 0)
+    # edge existence agrees with the edge set
+    has_edge = {tuple(sorted(map(int, e))) for e in g.edges}
+    for r in G.edge_existence_records(g, max_pairs=10, seed=0):
+        gg = text_record_to_graph(r["text"], task="edge_existence")
+        assert gg.y == int(tuple(sorted((gg.query_u, gg.query_v))) in has_edge)
+    # node degree agrees with degree counts
+    deg = g.degrees()
+    for r in G.node_degree_records(g, max_pairs=8, seed=0):
+        gg = text_record_to_graph(r["text"], task="node_degree")
+        assert gg.y == int(deg[gg.query_u])
+    # global counts
+    nc = text_record_to_graph(G.node_count_records(g)[0]["text"], task="node_count")
+    assert nc.y == g.num_nodes
+    tc = text_record_to_graph(G.triangle_count_records(g)[0]["text"],
+                              task="triangle_count")
+    a = g.adjacency()
+    assert tc.y == int(round(np.trace(a @ a @ a) / 6))
+
+
+@pytest.mark.parametrize("task", ["reachability", "edge_existence",
+                                  "node_degree", "node_count"])
+def test_corpus_and_loading(task, tmp_path):
+    root = str(tmp_path)
+    G.generate_corpus(root, tasks=(task,), algorithms=("er",),
+                      number_of_graphs=6, test_graphs=3, seed=5)
+    ex = load_examples_multi_algorithm(root, task, ["er"], "train")
+    assert len(ex) > 0
+    assert all(e["label"] is not None for e in ex)
+    if task in ("reachability", "edge_existence", "node_degree"):
+        assert all("query_u" in e for e in ex)
+
+
+@pytest.mark.parametrize("model_name,task", [
+    ("ibtt", "reachability"),
+    ("ibtt", "node_degree"),
+    ("mpnn", "edge_existence"),
+    ("agtt", "reachability"),
+])
+def test_train_extended_task(model_name, task, tmp_path):
+    root = tempfile.mkdtemp()
+    cfg = {
+        "dataset": {"graph_token_root": root, "task": task,
+                    "train_algorithms": ["er"], "test_algorithm": "ba",
+                    "use_split_tasks_dirs": True, "num_graphs": 15,
+                    "max_len": 600, "max_vocab": 600, "generate_num_graphs": 15},
+        "model": {"d_model": 16, "nhead": 4, "nlayers": 1, "d_ff": 32,
+                  "dropout": 0.1, "max_pos": 600,
+                  "hidden_dim": 16, "num_layers": 2, "pooling": "mean"},
+        "train": {"batch_size": 16, "epochs": 3, "lr": 2e-3,
+                  "weight_decay": 1e-4, "seed": 0},
+        "output": {"out_dir": str(tmp_path), "run_name": f"{model_name}-{task}"},
+        "wandb": {"use": False},
+    }
+    res = train(cfg, model_name, verbose=False)
+    assert res.history[-1]["train/loss"] < res.history[0]["train/loss"] * 1.5
+    assert np.isfinite(res.best_val)
