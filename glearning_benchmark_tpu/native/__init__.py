@@ -188,10 +188,19 @@ def zinc_encode_native(flat, vocab, max_len: int = 1024):
                            dtype=np.int32)
     tail_ids = np.asarray([vocab["<q>"], vocab["regression"], vocab["<p>"],
                            vocab["<atom>"], vocab["<bond>"]], dtype=np.int32)
-    # upper bound for l_max: 1 + 2N + 4*(E/2) + 3
+    # exact l_max from the ACTUAL kept (src < dst) edge counts — sizing from
+    # n_edges/2 assumes a mirrored edge list and under-allocates for
+    # single-direction inputs (the C side also bounds-checks, returning an
+    # error instead of writing past the buffer)
     n = flat["n_nodes"]
-    e = flat["n_edges"]
-    l_max = int((1 + 2 * n + 2 * e + 3).max()) if b else 1
+    if flat["src"].size:
+        keep = flat["src"] < flat["dst"]
+        kept_cum = np.concatenate([[0], np.cumsum(keep)])
+        eo = flat["edge_off"].astype(np.int64)
+        kept = kept_cum[eo[1:]] - kept_cum[eo[:-1]]
+    else:
+        kept = np.zeros(b, dtype=np.int64)
+    l_max = int((1 + 2 * n + 4 * kept + 3).max()) if b else 1
     atoms = np.ascontiguousarray(flat["atoms"].astype(np.int32))
     src = np.ascontiguousarray(flat["src"].astype(np.int32))
     dst = np.ascontiguousarray(flat["dst"].astype(np.int32))

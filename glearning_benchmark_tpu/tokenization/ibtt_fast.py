@@ -63,21 +63,41 @@ def flatten_zinc_corpus(mols: Sequence[Graph]) -> Dict[str, np.ndarray]:
 
 
 def _edges_lexsorted_per_mol(flat: Dict[str, np.ndarray]) -> bool:
+    """Fast-path gate. Per molecule the directed edge list must be STRICTLY
+    lexsorted by (src, dst) — a duplicated directed edge would be kept twice
+    by the fast paths but deduped by the scalar path — contain no self-loops,
+    and every reversed (src > dst) edge must have its (src < dst) mirror in
+    the same molecule — otherwise the fast paths would drop a bond the scalar
+    path emits. Under these conditions canonical first-occurrence dedup ==
+    the (src < dst) subsequence. PyG's mirrored lexsorted ZINC layout always
+    passes; anything else falls back to the exact scalar path."""
     cached = flat.get("_lexsorted")
     if cached is not None:
         return bool(cached)
+
+    def done(r: bool) -> bool:
+        flat["_lexsorted"] = r
+        return r
+
     src, dst, eo = flat["src"], flat["dst"], flat["edge_off"]
     if src.size == 0:
-        flat["_lexsorted"] = True
-        return True
-    key = src * (dst.max() + 2) + dst
-    nondec = key[1:] >= key[:-1]
-    # positions where a new molecule starts are allowed to decrease
+        return done(True)
+    if (src == dst).any():
+        return done(False)
+    big = int(max(src.max(), dst.max())) + 2
+    key = src * big + dst
     starts = np.zeros(src.size, dtype=bool)
     starts[eo[1:-1]] = True
-    result = bool(np.all(nondec | starts[1:]))
-    flat["_lexsorted"] = result
-    return result
+    if not bool(np.all((key[1:] > key[:-1]) | starts[1:])):
+        return done(False)
+    rev = src > dst
+    if rev.any():
+        mol_of_edge = np.repeat(np.arange(len(eo) - 1), np.diff(eo))
+        canon = np.minimum(src, dst) * big + np.maximum(src, dst)
+        mol_key = mol_of_edge.astype(np.int64) * (big * big) + canon
+        if not bool(np.isin(mol_key[rev], mol_key[~rev]).all()):
+            return done(False)
+    return done(True)
 
 
 # ---------------------------------------------------------------------------

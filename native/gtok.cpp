@@ -243,6 +243,13 @@ int32_t gtok_zinc_encode(
   for (int32_t mol = 0; mol < n_mols; ++mol) {
     int64_t ns = node_off[mol], ne = node_off[mol + 1];
     int64_t es = edge_off[mol], ee = edge_off[mol + 1];
+    // bounds check BEFORE writing: a lexsorted-but-unmirrored edge list can
+    // keep up to E (not E/2) edges, so a caller sizing l_max from E/2 would
+    // otherwise overflow the numpy-owned row buffer
+    int64_t kept = 0;
+    for (int64_t i = es; i < ee; ++i) kept += (src[i] < dst[i]);
+    int64_t needed = 1 + 2 * (ne - ns) + 4 * kept + 3;
+    if (needed > l_max) return -2;
     int32_t* row = out_ids + static_cast<int64_t>(mol) * l_max;
     int32_t pos = 0;
     row[pos++] = bos_id;

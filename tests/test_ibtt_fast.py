@@ -76,3 +76,87 @@ def test_flatten_offsets():
     assert flat["node_off"][-1] == sum(m.num_nodes for m in mols)
     assert flat["edge_off"][-1] == sum(m.edges.shape[0] for m in mols)
     assert flat["atoms"].shape[0] == flat["node_off"][-1]
+
+
+def _remake(m, edges, edge_labels):
+    from glearning_benchmark_tpu.data.graphs import Graph
+    return Graph(edges=np.asarray(edges, np.int32), num_nodes=m.num_nodes,
+                 y=m.y, node_labels=m.node_labels,
+                 edge_labels=np.asarray(edge_labels, np.int32))
+
+
+def test_duplicate_directed_edge_falls_back_exactly():
+    # a duplicated directed edge passes a non-strict lexsort but is kept
+    # twice by the raw fast paths and once by the scalar path — the strict
+    # gate must route such corpora through the scalar path
+    from glearning_benchmark_tpu.tokenization.ibtt_fast import (
+        _edges_lexsorted_per_mol,
+        corpus_ids_best,
+    )
+    mols = list(load_zinc_split(split="val", limit=8))
+    m = mols[2]
+    dup = np.concatenate([m.edges[:1], m.edges], axis=0)
+    dlab = np.concatenate([m.edge_labels[:1], m.edge_labels])
+    mols[2] = _remake(m, dup, dlab)
+    flat = flatten_zinc_corpus(mols)
+    assert not _edges_lexsorted_per_mol(flat)
+    vocab = _string_vocab(mols)
+    for fn in (corpus_ids_vectorized, corpus_ids_best):
+        ids_v, lens_v = fn(mols, vocab, max_len=1024)
+        ids_s, lens_s = tokenize_zinc_corpus_ids(mols, vocab, max_len=1024)
+        assert np.array_equal(lens_v, lens_s)
+        assert np.array_equal(ids_v[:, : ids_s.shape[1]], ids_s)
+
+
+def test_unmirrored_reversed_edge_falls_back_exactly():
+    # a lexsorted list whose only record of a bond is the (hi, lo) direction:
+    # the src<dst subsequence would DROP that bond, so the gate must reject
+    from glearning_benchmark_tpu.tokenization.ibtt_fast import (
+        _edges_lexsorted_per_mol,
+        corpus_ids_best,
+    )
+    mols = list(load_zinc_split(split="val", limit=8))
+    m = mols[1]
+    keep = m.edges[:, 0] > m.edges[:, 1]  # reversed-direction copies only
+    assert keep.any()
+    mols[1] = _remake(m, m.edges[keep], m.edge_labels[keep])
+    flat = flatten_zinc_corpus(mols)
+    assert not _edges_lexsorted_per_mol(flat)
+    vocab = _string_vocab(mols)
+    for fn in (corpus_ids_vectorized, corpus_ids_best):
+        ids_v, lens_v = fn(mols, vocab, max_len=1024)
+        ids_s, lens_s = tokenize_zinc_corpus_ids(mols, vocab, max_len=1024)
+        assert np.array_equal(lens_v, lens_s)
+        assert np.array_equal(ids_v[:, : ids_s.shape[1]], ids_s)
+
+
+def test_native_encode_single_direction_buffer_sizing():
+    # single-direction (src < dst only) lexsorted lists pass the gate but
+    # keep E (not E/2) bonds — the native buffer must be sized from actual
+    # kept counts, not n_edges/2 (heap overflow regression, ADVICE r1)
+    import pytest
+
+    from glearning_benchmark_tpu import native as gnative
+    from glearning_benchmark_tpu.tokenization.ibtt_fast import (
+        _edges_lexsorted_per_mol,
+        corpus_ids_best,
+    )
+    if not gnative.available():
+        pytest.skip("native library unavailable")
+    mols = list(load_zinc_split(split="val", limit=16))
+    halved = []
+    for m in mols:
+        keep = m.edges[:, 0] < m.edges[:, 1]
+        halved.append(_remake(m, m.edges[keep], m.edge_labels[keep]))
+    flat = flatten_zinc_corpus(halved)
+    assert _edges_lexsorted_per_mol(flat)
+    vocab = _string_vocab(halved)
+    ids_n, lens_n, trunc = gnative.zinc_encode_native(
+        flatten_zinc_corpus(halved), vocab, max_len=1024)
+    ids_s, lens_s = tokenize_zinc_corpus_ids(halved, vocab, max_len=1024)
+    assert not trunc.any()
+    assert np.array_equal(lens_n, lens_s)
+    assert np.array_equal(ids_n[:, : ids_s.shape[1]], ids_s)
+    ids_b, lens_b = corpus_ids_best(halved, vocab, max_len=1024)
+    assert np.array_equal(lens_b, lens_s)
+    assert np.array_equal(ids_b[:, : ids_s.shape[1]], ids_s)
