@@ -255,7 +255,18 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
 
     tok = TrailTokenizer(max_length=max_len, truncation_length=max_len,
                          labeled_graph=is_zinc, undirected=True)
-    max_nodes = max(g.num_nodes for g in graphs["train"])
+    # position table sized over ALL splits: the reference sizes over train
+    # only (train_agtt.py:534-535) and would index its embedding out of
+    # bounds on larger OOD eval graphs; r1 dropped such graphs, silently
+    # mutating the OOD test distribution. Sizing globally keeps every
+    # generated eval graph (train-split token streams are unaffected — node
+    # position ids never depend on max_nodes, only the '<q>' id does).
+    max_nodes_train = max(g.num_nodes for g in graphs["train"])
+    max_nodes = max(g.num_nodes for s in SPLITS for g in graphs[s])
+    if max_nodes > max_nodes_train:
+        print(f"[agtt] eval graphs exceed the train max ({max_nodes} > "
+              f"{max_nodes_train} nodes); position table sized globally so "
+              f"none are dropped")
     tok.set_num_nodes(max_nodes)
     if is_zinc:
         tok.set_num_node_and_edge_types(ZINC_NUM_ATOM_TYPES, ZINC_NUM_BOND_TYPES)
@@ -279,9 +290,7 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
     splits = {}
     seqs_by_split = {}
     for s in SPLITS:
-        # clamp: eval graphs can exceed the train max (OOD algorithms);
-        # node positions past max_nodes would alias the '<q>' id, so skip
-        gs = [g for g in graphs[s] if g.num_nodes <= max_nodes]
+        gs = graphs[s]  # nothing dropped: max_nodes covers every split
         if use_native and gs:
             ids_n, lens_n = sent_tokenize_batch_native(
                 gs, tok.idx_offset, max_len, labeled=is_zinc,

@@ -261,21 +261,53 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
         _, stats = jax.lax.scan(step, None, (idx, valid))
         return jax.tree.map(lambda s: s.sum(axis=0), stats)
 
+    zinc = task == "zinc"
+
+    def _val_metric(va_stats):
+        # the selection statistic, on-device (val MAE for zinc, else val acc)
+        if zinc:
+            return va_stats["abs_sum"] / jnp.clip(va_stats["count"], 1.0)
+        return jnp.trace(va_stats["cm"]) / jnp.clip(va_stats["count"], 1.0)
+
     def train_block(params, batch_stats, opt_state, train_arrays, val_arrays,
                     idx_k, valid_k, vidx, vvalid, rng):
-        # idx_k/valid_k: [K, nb, bs]
+        # idx_k/valid_k: [K, nb, bs]. The best-epoch state is carried INSIDE
+        # the scan (selected on-device by the val metric, strict improvement
+        # keeps the first of equal epochs) so K>1 dispatch returns the exact
+        # best-epoch params — no end-of-block approximation (reference
+        # per-epoch selection: train_ibtt.py:557-582).
         def epoch_body(carry, xs):
-            params, batch_stats, opt_state, rng = carry
+            (params, batch_stats, opt_state, rng,
+             b_params, b_bs, b_opt, b_metric, b_ep, ep_i) = carry
             idx, valid = xs
             rng, ep_rng = jax.random.split(rng)
             params, batch_stats, opt_state, tr_stats = train_one_epoch(
                 params, batch_stats, opt_state, train_arrays, idx, valid, ep_rng)
             va_stats = eval_core(params, batch_stats, val_arrays, vidx, vvalid)
-            return (params, batch_stats, opt_state, rng), (tr_stats, va_stats)
+            m = _val_metric(va_stats)
+            imp = (m < b_metric) if zinc else (m > b_metric)
 
-        (params, batch_stats, opt_state, _), (tr_k, va_k) = jax.lax.scan(
-            epoch_body, (params, batch_stats, opt_state, rng), (idx_k, valid_k))
-        return params, batch_stats, opt_state, tr_k, va_k
+            def sel(new, old):
+                return jax.tree.map(lambda a, b: jnp.where(imp, a, b), new, old)
+
+            b_params = sel(params, b_params)
+            b_bs = sel(batch_stats, b_bs)
+            b_opt = sel(opt_state, b_opt)
+            b_metric = jnp.where(imp, m, b_metric)
+            b_ep = jnp.where(imp, ep_i, b_ep)
+            return ((params, batch_stats, opt_state, rng,
+                     b_params, b_bs, b_opt, b_metric, b_ep, ep_i + 1),
+                    (tr_stats, va_stats))
+
+        init_metric = jnp.asarray(jnp.inf if zinc else -jnp.inf, jnp.float32)
+        init = (params, batch_stats, opt_state, rng,
+                params, batch_stats, opt_state, init_metric,
+                jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
+        (params, batch_stats, opt_state, _,
+         b_params, b_bs, b_opt, b_metric, b_ep, _), (tr_k, va_k) = jax.lax.scan(
+            epoch_body, init, (idx_k, valid_k))
+        return (params, batch_stats, opt_state, tr_k, va_k,
+                b_params, b_bs, b_opt, b_metric, b_ep)
 
     return (jax.jit(train_block, donate_argnums=(0, 1, 2)),
             jax.jit(eval_core))
@@ -481,6 +513,21 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             params = jax.tree.map(jnp.asarray, ckpt["params"])
             if ckpt.get("batch_stats") is not None:
                 batch_stats = jax.tree.map(jnp.asarray, ckpt["batch_stats"])
+            if ckpt.get("opt_state"):
+                # restore AdamW moments + schedule step so continued training
+                # picks up exactly where the best epoch left off (r1 resume
+                # silently restarted the optimizer/schedule from step 0)
+                saved = ckpt["opt_state"]
+                leaves = [jnp.asarray(saved[k]) for k in sorted(saved)]
+                template = jax.tree.structure(opt_state)
+                if template.num_leaves == len(leaves):
+                    opt_state = jax.tree.unflatten(template, leaves)
+                elif verbose:
+                    print("[warn] checkpoint opt_state does not match the "
+                          "optimizer; resuming with a fresh optimizer state")
+            elif verbose:
+                print("[warn] checkpoint has no opt_state (pre-r2 format); "
+                      "resuming with a fresh optimizer state")
             best_val = float(ckpt.get("best_val", best_val))
             start_epoch = int(ckpt.get("epoch", 0)) + 1
             if verbose:
@@ -506,10 +553,9 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     profile_epochs = set(train_cfg.get("profile_epochs", []) or [])
     profile_dir = os.path.join(out_dir, f"{run_name}_trace")
 
-    # K epochs per jitted dispatch. K=1 (default) matches the reference's
-    # loop exactly (incl. exact best-epoch checkpointing); K>1 amortizes
-    # dispatch latency — the saved "best" params are then the enclosing
-    # block's end-of-block params (documented approximation). Epoch count
+    # K epochs per jitted dispatch. Any K is exact: the best-epoch state is
+    # selected on-device inside the scanned block (val metric, strict
+    # improvement), so K>1 only amortizes dispatch latency. Epoch count
     # rounds UP to a multiple of K to keep a single compiled block shape.
     k_disp = max(1, int(train_cfg.get("epochs_per_dispatch", 1)))
     vidx, vvalid = eval_batches["val"]
@@ -526,7 +572,8 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         valid_one = make_batches(n_train, batch_size, None)[1]
         valid_k = np.broadcast_to(valid_one, (k,) + valid_one.shape)
         rng, blk_rng = jax.random.split(rng)
-        params, batch_stats, opt_state, tr_k, va_k = train_ep(
+        (params, batch_stats, opt_state, tr_k, va_k,
+         b_params_blk, b_bs_blk, b_opt_blk, b_metric_blk, b_ep_blk) = train_ep(
             params, batch_stats, opt_state, dev_splits["train"], dev_splits["val"],
             put_idx3(idx_k), put_idx3(np.ascontiguousarray(valid_k)), vidx_d, vvalid_d, blk_rng)
         tr_k = jax.tree.map(np.asarray, tr_k)
@@ -536,6 +583,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         block_dur = time.time() - block_start
         dur = block_dur / k
 
+        va_metrics: List[float] = []
         for j in range(k):
             ep = epoch + j
             tr = _epoch_metrics(jax.tree.map(lambda a: a[j], tr_k), task, num_classes)
@@ -579,16 +627,25 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                       f"{tr_metric:.4f} | val {va['loss']:.4f}/{metric_name}="
                       f"{va_metric:.4f} | time {dur:.2f}s")
 
-            if better(va_metric, best_val):
-                best_val = va_metric
-                best_params = jax.tree.map(lambda x: np.asarray(x), params)
-                best_bs = jax.tree.map(lambda x: np.asarray(x), batch_stats) \
-                    if batch_stats is not None else None
-                time_to_best = time.time() - t0
-                save_checkpoint(os.path.join(out_dir, f"best_{run_name}"),
-                                {"params": best_params, "batch_stats": best_bs,
-                                 "epoch": ep, "best_val": best_val,
-                                 "config": config, "vocab": bundle.vocab})
+            va_metrics.append(va_metric)
+
+        # block-best: the device carried the exact best-epoch state through
+        # the scan; adopt it when it beats the global best (strictly, like
+        # the reference's per-epoch check)
+        blk_ep = int(np.asarray(b_ep_blk))
+        if blk_ep >= 0 and better(va_metrics[blk_ep], best_val):
+            best_val = va_metrics[blk_ep]
+            best_params = jax.tree.map(np.asarray, b_params_blk)
+            best_bs = jax.tree.map(np.asarray, b_bs_blk) \
+                if b_bs_blk is not None else None
+            best_opt = {f"{i:06d}": np.asarray(leaf)
+                        for i, leaf in enumerate(jax.tree.leaves(b_opt_blk))}
+            time_to_best = time.time() - t0
+            save_checkpoint(os.path.join(out_dir, f"best_{run_name}"),
+                            {"params": best_params, "batch_stats": best_bs,
+                             "opt_state": best_opt,
+                             "epoch": epoch + blk_ep, "best_val": best_val,
+                             "config": config, "vocab": bundle.vocab})
         epoch += k
 
     total_time = time.time() - t0

@@ -32,3 +32,60 @@ def test_resume_continues(tmp_path):
     assert res2.history[0]["epoch"] >= 2
     # best never regresses across the resume
     assert res2.best_val >= res1.best_val - 1e-9
+
+
+def test_checkpoint_contains_opt_state(tmp_path):
+    root = tempfile.mkdtemp()
+    out = str(tmp_path)
+    train(_cfg(root, out, epochs=3), "ibtt", verbose=False)
+    from glearning_benchmark_tpu.train.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(f"{out}/best_r")
+    assert ckpt is not None and ckpt.get("opt_state")
+    # AdamW moments present: more than just the count scalar
+    assert len(ckpt["opt_state"]) > 2
+
+
+def test_block_dispatch_best_epoch_is_exact(tmp_path):
+    """With epochs_per_dispatch>1 the saved checkpoint must hold the TRUE
+    best-epoch params (device-carried through the scan), i.e. (a) the saved
+    epoch is the first argbest of the logged val metric and (b) re-evaluating
+    the saved params reproduces best_val."""
+    import numpy as np
+
+    from glearning_benchmark_tpu.train.checkpoint import load_checkpoint
+    from glearning_benchmark_tpu.train.trainer import (
+        _epoch_metrics,
+        build_dataset,
+        build_model,
+        make_batches,
+        make_epoch_fns,
+    )
+
+    root = tempfile.mkdtemp()
+    out = str(tmp_path)
+    cfg = _cfg(root, out, epochs=8)
+    cfg["train"]["epochs_per_dispatch"] = 4
+    res = train(cfg, "ibtt", verbose=False)
+    ckpt = load_checkpoint(f"{out}/best_r")
+    assert ckpt is not None
+
+    accs = [h["val/acc"] for h in res.history]
+    first_best = int(np.argmax(accs)) + 1  # epochs are 1-based
+    assert ckpt["epoch"] == first_best
+    assert abs(ckpt["best_val"] - max(accs)) < 1e-9
+
+    # re-evaluate the saved params on the val split
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    bundle = build_dataset("ibtt", cfg["dataset"], seed=0)
+    model = build_model("ibtt", cfg, bundle)
+    tx = optax.adamw(1e-3)
+    _, eval_ep = make_epoch_fns(model, bundle, tx, bundle.task, bundle.num_classes)
+    vidx, vvalid = make_batches(bundle.n("val"), cfg["train"]["batch_size"], None)
+    arrays = {k: jnp.asarray(v) for k, v in bundle.splits["val"].items()}
+    params = jax.tree.map(jnp.asarray, ckpt["params"])
+    stats = eval_ep(params, None, arrays, jnp.asarray(vidx), jnp.asarray(vvalid))
+    m = _epoch_metrics(stats, bundle.task, bundle.num_classes)
+    assert abs(m["accuracy"] - ckpt["best_val"]) < 1e-6
