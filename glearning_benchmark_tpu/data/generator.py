@@ -37,6 +37,13 @@ from .text_grammar import graph_to_text
 
 ALGORITHMS = ("er", "ba", "sbm", "sfn", "complete", "star", "path")
 
+# corpus format version, stamped into each directory's .complete marker;
+# bumping it regenerates stale corpora on next use.
+# v2: shortest_path emits ALL N(N-1)/2 pairs (reference parity — the r1
+#     64-pair emission cap changed the loader's 10-pairs/graph sampling
+#     distribution, VERDICT r1 weak #1)
+GENERATOR_VERSION = 2
+
 _SIZE_BUCKETS = {
     "small": (10, 20),
     "medium": (20, 40),
@@ -254,12 +261,13 @@ def cycle_check_records(g: Graph, max_pairs: Optional[int] = None,
 
 def shortest_path_records(g: Graph, max_classes: int = MAX_PATH_CLASSES,
                           max_pairs: Optional[int] = None, seed: int = 0) -> List[dict]:
-    """All N(N-1)/2 query pairs per graph (reference docs/synthetic_data.md:
-    141-150), optionally subsampled at generation time (``max_pairs``) —
-    the reference configs only ever load 10 pairs/graph
-    (num_pairs_per_graph), so emitting every pair of a 50-node graph
-    (1225 records repeating the full serialization) wastes corpus bytes.
-    The graph-structure prefix is built once and shared across pairs."""
+    """All N(N-1)/2 query pairs per graph by default (reference
+    docs/synthetic_data.md:141-150); the loader then samples
+    ``num_pairs_per_graph`` from the full pair population exactly like the
+    reference (data_loader.py:157-206). ``max_pairs`` subsampling at
+    generation time exists for tests only — it changes the sampling
+    distribution and must stay OFF for benchmark corpora. The
+    graph-structure prefix is built once and shared across pairs."""
     dist = all_pairs_distances(g)
     iu, iv = np.triu_indices(g.num_nodes, k=1)
     if max_pairs is not None and iu.shape[0] > max_pairs:
@@ -364,6 +372,9 @@ def graph_seed(base_seed: int, algorithm: str, split: str, index: int) -> int:
             + index * 1000003) % (1 << 63)
 
 
+_UNSET = object()
+
+
 def generate_corpus(
     root: str,
     tasks: Sequence[str] = ("cycle_check", "shortest_path"),
@@ -373,7 +384,7 @@ def generate_corpus(
     seed: int = 1234,
     min_sparsity: float = 0.1,
     max_sparsity: float = 0.2,
-    max_pairs_per_graph: Optional[int] = 64,
+    max_pairs_per_graph=_UNSET,
 ) -> None:
     """Write a graph-token-layout JSON corpus under ``root``.
 
@@ -381,7 +392,13 @@ def generate_corpus(
     test graphs goes to tasks_test/<task>/<algo>/{val,test}. Graphs are
     shared across tasks per (algo, split, index), like graph-token which
     generates graphs first and derives tasks from them. Already-generated
-    (task, algo) directories are left untouched (incremental).
+    (task, algo) directories at the current GENERATOR_VERSION are left
+    untouched (incremental); stale-version directories are regenerated.
+
+    ``max_pairs_per_graph``: left unset, each task emitter's own default
+    applies (shortest_path: all pairs, reference parity; the extended pair
+    families keep their bounded defaults). Passing a value overrides every
+    pair-emitting task — tests only.
     """
     test_graphs = test_graphs if test_graphs is not None else max(50, number_of_graphs // 5)
     split_plan = [
@@ -389,6 +406,8 @@ def generate_corpus(
         ("val", "tasks_test", "val", test_graphs, 10_000_000),
         ("test", "tasks_test", "test", test_graphs, 20_000_000),
     ]
+    stamp = f"ok v{GENERATOR_VERSION}\n"
+    pair_kw = {} if max_pairs_per_graph is _UNSET else {"max_pairs": max_pairs_per_graph}
     for algo in algorithms:
         graphs_cache: dict = {}
         for task in tasks:
@@ -397,7 +416,14 @@ def generate_corpus(
                 out_dir = os.path.join(root, top, task, algo, sub)
                 done = os.path.join(out_dir, ".complete")
                 if os.path.isfile(done):
-                    continue
+                    with open(done) as f:
+                        if f.read() == stamp:
+                            continue
+                    # stale corpus version: clear and regenerate
+                    os.remove(done)
+                    from glob import glob as _glob
+                    for old in _glob(os.path.join(out_dir, "*.json")):
+                        os.remove(old)
                 if split not in graphs_cache:
                     graphs_cache[split] = [
                         generate_graph(algo, graph_seed(seed, algo, split, idx_offset + i),
@@ -406,13 +432,13 @@ def generate_corpus(
                     ]
                 os.makedirs(out_dir, exist_ok=True)
                 for i, g in enumerate(graphs_cache[split]):
-                    recs = emit(g, max_pairs=max_pairs_per_graph,
-                                seed=graph_seed(seed + 1, algo, split, i))
+                    recs = emit(g, seed=graph_seed(seed + 1, algo, split, i),
+                                **pair_kw)
                     path = os.path.join(out_dir, f"graph_{i:05d}.json")
                     with open(path, "w") as f:
                         json.dump(recs, f)
                 with open(done, "w") as f:
-                    f.write("ok\n")
+                    f.write(stamp)
 
 
 def ensure_corpus(root: str, tasks: Sequence[str] = ("cycle_check", "shortest_path"),

@@ -151,9 +151,12 @@ def load_examples(
 
     ``num_graphs`` subsamples files; for shortest_path,
     ``num_pairs_per_graph`` subsamples query-pair records within each file
-    (reference: data_loader.py:112-245). Records whose label is None
-    (e.g. INF pairs) are dropped for shortest_path pair sampling, matching
-    the reference's ``query_nodes is not None`` + label checks downstream.
+    (reference: data_loader.py:112-245). The sampling population is every
+    record with query nodes — INCLUDING unlabeled (INF/unreachable) pairs,
+    exactly like the reference (data_loader.py:166-176 requires only
+    ``query_nodes is not None``); unlabeled sampled entries are dropped
+    downstream, so a graph can contribute fewer than
+    ``num_pairs_per_graph`` usable examples.
     """
     files = sorted(glob(path_glob))
     if num_graphs is not None and len(files) > num_graphs:
@@ -173,7 +176,7 @@ def load_examples(
             if q is not None:
                 entry["query_u"], entry["query_v"] = q
             if task == "shortest_path" and num_pairs_per_graph is not None:
-                if q is not None and y is not None:
+                if q is not None:
                     file_examples.append(entry)
             else:
                 out.append(entry)
