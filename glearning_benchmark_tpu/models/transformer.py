@@ -45,7 +45,8 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool):
+    def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool,
+                 seg: Optional[jnp.ndarray] = None):
         b, l, d = x.shape
         h = self.nhead
         hd = d // h
@@ -54,11 +55,11 @@ class EncoderLayer(nn.Module):
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
-        if self.use_flash:
+        if self.use_flash and seg is None:
             from ..ops.pallas_attention import flash_attention
             attn = flash_attention(q, k, v, key_mask)
         else:
-            attn = multi_head_attention(q, k, v, key_mask=key_mask)
+            attn = multi_head_attention(q, k, v, key_mask=key_mask, seg=seg)
         attn = nn.Dense(d, name="out_proj", dtype=self.dtype)(attn.reshape(b, l, d))
         attn = nn.Dropout(self.p_drop, deterministic=deterministic)(attn)
         x = nn.LayerNorm(name="norm1")((x + attn).astype(jnp.float32))
@@ -96,11 +97,21 @@ class SimpleTransformer(nn.Module):
         attn_mask: jnp.ndarray,            # [B, L] bool, True = valid
         q_token_id: Optional[int] = None,  # id of '<q>' for query readout
         deterministic: bool = True,
+        seg: Optional[jnp.ndarray] = None,      # [B, L] packed segment ids
+        pos: Optional[jnp.ndarray] = None,      # [B, L] within-segment positions
+        pos_bos: Optional[jnp.ndarray] = None,  # [B, K] segment-start offsets
+        pos_u: Optional[jnp.ndarray] = None,    # [B, K] query-u slots (0 = none)
+        pos_v: Optional[jnp.ndarray] = None,    # [B, K] query-v slots (0 = none)
     ) -> jnp.ndarray:
+        """Unpacked rows (seg=None): one example per row, '<q>' located
+        in-jit, returns [B, C]. Packed rows (seg given): K examples per row
+        behind a block-diagonal mask with segment-relative positions and
+        host-precomputed readout slots, returns [B, K, C] — semantics per
+        example are identical to the unpacked path."""
         b, l = x.shape
         h = nn.Embed(self.vocab_size, self.d_model, embedding_init=_TRUNC,
                      name="embed")(x)
-        pos_ids = jnp.arange(l)[None, :]
+        pos_ids = jnp.arange(l)[None, :] if pos is None else pos
         h = h + nn.Embed(self.max_pos, self.d_model, embedding_init=_TRUNC,
                          name="pos")(pos_ids)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) if self.remat \
@@ -109,7 +120,34 @@ class SimpleTransformer(nn.Module):
         for i in range(self.nlayers):
             h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
                           self.use_flash, cdtype,
-                          name=f"layer_{i}")(h, attn_mask, deterministic)
+                          name=f"layer_{i}")(h, attn_mask, deterministic, seg)
+
+        norm = nn.LayerNorm(name="norm")
+        cls = nn.Dense(self.num_classes, kernel_init=_TRUNC,
+                       bias_init=nn.initializers.zeros, name="cls")
+        if seg is not None:
+            # packed readout: gather per-example slots [B, K] -> [B, K, d]
+            def take(idx):
+                return jnp.take_along_axis(
+                    h, idx[:, :, None].repeat(self.d_model, -1), axis=1)
+
+            bos_emb = take(pos_bos)
+            if self.use_query_nodes:
+                u_emb = take(pos_u)
+                v_emb = take(pos_v)
+                # slot 0 is always a segment's <bos>, so 0 means "no query"
+                ok_u = (pos_u > 0)[..., None]
+                ok_v = (pos_v > 0)[..., None]
+                u_emb = jnp.where(ok_u, u_emb, jnp.zeros_like(u_emb))
+                v_emb = jnp.where(ok_v, v_emb, jnp.zeros_like(v_emb))
+                pooled = jnp.concatenate(
+                    [norm(bos_emb), norm(u_emb), norm(v_emb)], axis=-1)
+            else:
+                pooled = norm(bos_emb)
+            out = cls(pooled)
+            if self.task == "zinc":
+                return out.squeeze(-1)
+            return out
 
         # <bos> pooling with masked-mean fallback (train_ibtt.py:114-120)
         maskf = attn_mask.astype(h.dtype)
@@ -118,7 +156,6 @@ class SimpleTransformer(nn.Module):
         all_bos = jnp.all(x[:, 0] == self.bos_id)
         bos_emb = jnp.where(all_bos, h[:, 0], mean_emb)
 
-        norm = nn.LayerNorm(name="norm")
         if self.use_query_nodes and q_token_id is not None:
             # vectorized '<q>' search: first match per row
             is_q = (x == q_token_id) & attn_mask
@@ -137,8 +174,7 @@ class SimpleTransformer(nn.Module):
         else:
             pooled = norm(bos_emb)
 
-        out = nn.Dense(self.num_classes, kernel_init=_TRUNC,
-                       bias_init=nn.initializers.zeros, name="cls")(pooled)
+        out = cls(pooled)
         if self.task == "zinc":
             return out.squeeze(-1)
         return out

@@ -21,17 +21,30 @@ def multi_head_attention(
     k: jnp.ndarray,            # [B, S, H, D]
     v: jnp.ndarray,            # [B, S, H, D]
     key_mask: Optional[jnp.ndarray] = None,  # [B, S] True = attend
+    seg: Optional[jnp.ndarray] = None,       # [B, L] packed segment ids (0 = pad)
 ) -> jnp.ndarray:
-    """Scaled dot-product attention with key-padding mask. Returns [B, L, H, D]."""
+    """Scaled dot-product attention with key-padding mask. Returns [B, L, H, D].
+
+    ``seg`` enables packed rows: tokens attend only within their own segment
+    (block-diagonal mask, segment 0 = padding). The equality test fuses into
+    the masking select — no [B, L, S] mask is materialized in HBM.
+    """
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=q.dtype))
     logits = jnp.einsum("blhd,bshd->bhls", q, k) * scale
-    if key_mask is not None:
+    if seg is not None:
+        allow = (seg[:, None, :, None] == seg[:, None, None, :]) \
+            & (seg > 0)[:, None, None, :]
+    elif key_mask is not None:
+        allow = key_mask[:, None, None, :]
+    else:
+        allow = None
+    if allow is not None:
         neg = jnp.finfo(logits.dtype).min
-        logits = jnp.where(key_mask[:, None, None, :], logits, neg)
+        logits = jnp.where(allow, logits, neg)
     probs = jnn.softmax(logits, axis=-1)
-    if key_mask is not None:
+    if allow is not None:
         # rows attending to nothing (fully padded) produce uniform softmax over
         # -inf; zero them out so padded queries emit exact zeros
-        probs = jnp.where(key_mask[:, None, None, :], probs, 0.0)
+        probs = jnp.where(allow, probs, 0.0)
     return jnp.einsum("bhls,bshd->blhd", probs, v)

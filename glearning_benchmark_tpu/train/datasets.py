@@ -29,7 +29,7 @@ from ..data.loader import (
 )
 from ..data.zinc import ZINC_NUM_ATOM_TYPES, ZINC_NUM_BOND_TYPES, load_zinc_split
 from ..tokenization.ibtt import encode_texts, tokenize_zinc_molecule
-from ..tokenization.pack import pad_sequences, round_up_to_bucket
+from ..tokenization.pack import pack_examples, pad_sequences, round_up_to_bucket
 from ..tokenization.sent import TrailTokenizer
 from ..tokenization.vocab import (
     build_fixed_zinc_vocab,
@@ -39,6 +39,22 @@ from ..tokenization.vocab import (
 )
 
 SPLITS = ("train", "val", "test")
+
+QUERY_OFFSETS = {"shortest_path": (2, 3), "node_degree": (1, 1)}  # default (1, 2)
+
+
+def _pack_train_split(seqs, labels, bucket, pad_id, q_id, offsets):
+    """Replace an unpacked train split with packed rows (SURVEY §7 2d):
+    multiple sequences per attention row behind a block-diagonal mask,
+    segment-relative positions, host-precomputed readout slots. Eval splits
+    stay unpacked (the reference collate contract is the eval surface)."""
+    pk = pack_examples(seqs, bucket=bucket, pad_id=pad_id,
+                       q_token_id=q_id, query_offsets=offsets)
+    y = np.asarray(labels)
+    y_ex = np.where(pk["ex_valid"], y[pk["ex_index"]], 0).astype(y.dtype)
+    return {"ids": pk["ids"], "seg": pk["seg"], "pos": pk["pos"],
+            "pos_bos": pk["pos_bos"], "pos_u": pk["pos_u"],
+            "pos_v": pk["pos_v"], "ex_valid": pk["ex_valid"], "y": y_ex}
 
 
 # ---------------------------------------------------------------------------
@@ -228,11 +244,21 @@ def build_ibtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
 
     query_tasks = ("shortest_path", "reachability", "edge_existence", "node_degree")
     q_id = vocab.get("<q>") if task in query_tasks else None
+
+    n_examples_train = len(labels["train"])
+    if bool(dataset_cfg.get("pack", False)) and n_examples_train:
+        ids_t, lens_t = packed["train"]
+        seqs = [ids_t[i, : lens_t[i]] for i in range(len(lens_t))]
+        splits["train"] = _pack_train_split(
+            seqs, labels["train"], train_bucket, pad_id, q_id,
+            QUERY_OFFSETS.get(task, (1, 2)))
+
     return DatasetBundle(task=task, kind="tokens", splits=splits,
                          num_classes=num_classes, vocab=vocab,
                          vocab_size=len(vocab), q_token_id=q_id,
                          meta={"max_len": max(train_bucket, eval_bucket),
-                               "pad_id": pad_id})
+                               "pad_id": pad_id,
+                               "n_examples_train": n_examples_train})
 
 
 # ---------------------------------------------------------------------------
@@ -336,12 +362,22 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
         if not is_zinc else []
     num_classes = 1 if is_zinc else determine_num_classes(all_ex, task)
     q_id = tok.query_token_id if task in ("shortest_path", "reachability", "edge_existence", "node_degree") else None
+
+    n_examples_train = len(seqs_by_split["train"])
+    if bool(dataset_cfg.get("pack", False)) and n_examples_train:
+        splits["train"] = _pack_train_split(
+            [t for t, _ in seqs_by_split["train"]],
+            np.array([y for _, y in seqs_by_split["train"]],
+                     dtype=np.float32 if is_zinc else np.int32),
+            buckets["train"], pad_id, q_id, (1, 2))  # trail '<q> u v'
+
     return DatasetBundle(task=task, kind="tokens", splits=splits,
                          num_classes=num_classes, vocab=None,
                          vocab_size=vocab_size, q_token_id=q_id,
                          meta={"max_len": bucket, "pad_id": pad_id,
                                "idx_offset": tok.idx_offset,
-                               "bos_id": bos_like, "max_nodes": max_nodes})
+                               "bos_id": bos_like, "max_nodes": max_nodes,
+                               "n_examples_train": n_examples_train})
 
 
 # ---------------------------------------------------------------------------

@@ -170,9 +170,19 @@ def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rn
         kwargs["rngs"] = {"dropout": rng}
     mutable = ["batch_stats"] if "batch_stats" in variables else False
     if bundle.kind == "tokens":
-        out = model.apply(variables, batch["ids"], batch["mask"],
-                          q_token_id=bundle.q_token_id,
-                          deterministic=not train, mutable=mutable, **kwargs)
+        if "seg" in batch:
+            # packed rows (K sequences per attention row, block-diagonal
+            # mask): logits come back [B, K, C] / [B, K]
+            out = model.apply(variables, batch["ids"], batch["seg"] > 0,
+                              q_token_id=bundle.q_token_id,
+                              deterministic=not train,
+                              seg=batch["seg"], pos=batch["pos"],
+                              pos_bos=batch["pos_bos"], pos_u=batch["pos_u"],
+                              pos_v=batch["pos_v"], mutable=mutable, **kwargs)
+        else:
+            out = model.apply(variables, batch["ids"], batch["mask"],
+                              q_token_id=bundle.q_token_id,
+                              deterministic=not train, mutable=mutable, **kwargs)
     else:
         adj = batch["adj"].astype(jnp.float32)  # stored uint8 corpus-side
         out = model.apply(variables, batch["node_feat"], adj, batch["mask"],
@@ -181,6 +191,20 @@ def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rn
         logits, updates = out
         return logits, updates.get("batch_stats")
     return out, None
+
+
+def _loss_inputs(logits, batch, bvalid):
+    """Flatten packed-row outputs to per-example vectors.
+
+    Packed train batches carry labels [B, K] plus a per-slot ``ex_valid``;
+    the loss/metric machinery is per-example, so flatten to [B*K] with
+    validity = row-valid AND slot-valid. Unpacked batches pass through."""
+    y = batch["y"]
+    if y.ndim >= 2 and "ex_valid" in batch:
+        valid = bvalid[:, None] & batch["ex_valid"]
+        return (logits.reshape((-1,) + logits.shape[y.ndim:]),
+                y.reshape(-1), valid.reshape(-1))
+    return logits, y, bvalid
 
 
 def _loss_and_stats(logits, y, valid, task: str, num_classes: int):
@@ -232,7 +256,8 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
                 logits, new_stats = _apply_model(model, variables, batch, bundle, True, drop)
-                loss, stats = _loss_and_stats(logits, batch["y"], bvalid, task, num_classes)
+                lg, y, lvalid = _loss_inputs(logits, batch, bvalid)
+                loss, stats = _loss_and_stats(lg, y, lvalid, task, num_classes)
                 return loss, (stats, new_stats)
 
             (loss, (stats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -255,7 +280,8 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
             logits, _ = _apply_model(model, variables, batch, bundle, False, None)
-            _, stats = _loss_and_stats(logits, batch["y"], bvalid, task, num_classes)
+            lg, y, lvalid = _loss_inputs(logits, batch, bvalid)
+            _, stats = _loss_and_stats(lg, y, lvalid, task, num_classes)
             return carry, stats
 
         _, stats = jax.lax.scan(step, None, (idx, valid))
@@ -405,8 +431,21 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     n_train = bundle.n("train")
     if n_train == 0:
         raise RuntimeError("No training examples found. Did you run the task generator?")
+    # packed train split: n_train counts ROWS (each holding ~K sequences);
+    # scale the row batch so examples-per-step stays ~batch_size, and report
+    # throughput in examples
+    packed_train = bundle.kind == "tokens" and "seg" in bundle.splits["train"]
+    n_train_examples = int(bundle.meta.get("n_examples_train", n_train))
+    if packed_train:
+        train_bs = max(1, round(batch_size * n_train / max(n_train_examples, 1)))
+    else:
+        train_bs = batch_size
     if verbose:
         print(f"#train: {n_train} | #val: {bundle.n('val')} | #test: {bundle.n('test')}")
+        if packed_train:
+            print(f"packed train split: {n_train_examples} examples in "
+                  f"{n_train} rows (x{n_train_examples / max(n_train, 1):.2f} "
+                  f"density), row batch {train_bs}")
         if task != "zinc" and bundle.kind == "graphs":
             # example-graph logging (reference train_mpnn.py:240-285)
             try:
@@ -424,7 +463,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     model = build_model(model_name, config, bundle)
 
     # steps/schedule
-    steps_per_epoch = max(1, (n_train + batch_size - 1) // batch_size)
+    steps_per_epoch = max(1, (n_train + train_bs - 1) // train_bs)
     sched_name = train_cfg.get("scheduler", "none")
     if sched_name == "cosine_with_warmup":
         warm = int(train_cfg.get("num_warmup_epochs", 5)) * steps_per_epoch
@@ -440,7 +479,10 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # init
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
-    sample = {k: jnp.asarray(v[:2]) for k, v in bundle.splits["train"].items()}
+    # init from an unpacked split (val shares the parameter structure; the
+    # packed/unpacked forwards use the same modules)
+    init_split = "val" if packed_train else "train"
+    sample = {k: jnp.asarray(v[:2]) for k, v in bundle.splits[init_split].items()}
     # jit the init: eager flax init dispatches op-by-op, which is pathologically
     # slow through a tunneled TPU backend
     if bundle.kind == "tokens":
@@ -478,7 +520,8 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # data-parallel sharding: corpus + params replicated, the minibatch
     # index matrices sharded over 'data' — gathered batches inherit the
     # sharding, and GSPMD inserts the gradient/metric all-reduces
-    if mesh is not None and batch_size % mesh.shape["data"] == 0:
+    if mesh is not None and batch_size % mesh.shape["data"] == 0 \
+            and train_bs % mesh.shape["data"] == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
         _rep = NamedSharding(mesh, P())
         _sh2 = NamedSharding(mesh, P(None, "data"))
@@ -567,9 +610,9 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         block_start = time.time()
         if epoch in profile_epochs:
             jax.profiler.start_trace(profile_dir)
-        idx_k = np.stack([make_batches(n_train, batch_size, shuffle_rng)[0]
+        idx_k = np.stack([make_batches(n_train, train_bs, shuffle_rng)[0]
                           for _ in range(k)])
-        valid_one = make_batches(n_train, batch_size, None)[1]
+        valid_one = make_batches(n_train, train_bs, None)[1]
         valid_k = np.broadcast_to(valid_one, (k,) + valid_one.shape)
         rng, blk_rng = jax.random.split(rng)
         (params, batch_stats, opt_state, tr_k, va_k,
@@ -599,7 +642,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                 "train/loss": tr["loss"], "val/loss": va["loss"],
                 "lr": float(cur_lr),
                 "time/epoch_duration": dur,
-                "throughput/graphs_per_sec": n_train / dur if dur > 0 else 0.0,
+                "throughput/graphs_per_sec": n_train_examples / dur if dur > 0 else 0.0,
                 "memory/device_mb": _device_memory_mb(),
             }
             if task == "zinc":
