@@ -82,18 +82,28 @@ def test_shortest_path_records():
     g = G.generate_graph("path", 0)
     recs = G.shortest_path_records(g)
     assert len(recs) == g.num_nodes * (g.num_nodes - 1) // 2
-    # path graph: distance between i and j is |i-j|; > 7 becomes INF
+    # path graph: true distance between i and j is |i-j| (uncapped, v3)
     for r in recs[:50]:
         t = r["text"]
         q = parse_query_nodes_from_text(t)
         lab = parse_distance_label_from_text(t)
         assert q is not None
         u, v = q
-        true = abs(u - v)
-        if true > G.MAX_PATH_CLASSES:
+        assert lab == abs(u - v) - 1  # 0-indexed
+
+
+def test_shortest_path_records_cap_opt_in():
+    """The optional max_classes cap (r1/v2 behavior) still INFs long pairs."""
+    g = G.generate_graph("path", 0)
+    recs = G.shortest_path_records(g, max_classes=G.MAX_PATH_CLASSES)
+    for r in recs:
+        q = parse_query_nodes_from_text(r["text"])
+        lab = parse_distance_label_from_text(r["text"])
+        u, v = q
+        if abs(u - v) > G.MAX_PATH_CLASSES:
             assert lab is None
         else:
-            assert lab == true - 1  # 0-indexed
+            assert lab == abs(u - v) - 1
 
 
 def test_label_parsers():

@@ -64,8 +64,8 @@ def test_untrained_mpnn_near_chance():
 
 
 def test_shortest_path_distance_distribution():
-    """Distance labels occupy multiple classes and only 1..7 (reference
-    data_distribution_test idea)."""
+    """Distance labels occupy many classes; path graphs contribute the long
+    tail (reference data_distribution_test idea)."""
     seen = set()
     for algo in ("er", "path", "sbm"):
         for s in range(10):
@@ -73,10 +73,11 @@ def test_shortest_path_distance_distribution():
             d = G.all_pairs_distances(g)
             iu, iv = np.triu_indices(g.num_nodes, k=1)
             vals = d[iu, iv]
-            vals = vals[(vals > 0) & (vals <= G.MAX_PATH_CLASSES)]
+            vals = vals[vals > 0]
             seen.update(np.unique(vals).tolist())
-    assert len(seen) >= 4
-    assert min(seen) >= 1 and max(seen) <= 7
+    assert len(seen) >= 8       # er/sbm short distances + path long tail
+    assert min(seen) == 1
+    assert max(seen) > G.MAX_PATH_CLASSES  # true distances, uncapped (v3)
 
 
 def test_graph_size_buckets():

@@ -26,31 +26,24 @@ def main() -> None:
 
     from torch_geometric.datasets import ZINC  # requires network on first run
 
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from glearning_benchmark_tpu.data.graphs import Graph
+    from glearning_benchmark_tpu.data.zinc import save_zinc_npz
+
     for split in ("train", "val", "test"):
         ds = ZINC(root=args.root, subset=args.subset, split=split)
-        node_off = [0]
-        edge_off = [0]
-        atoms, src, dst, bond, ys = [], [], [], [], []
+        graphs = []
         for data in ds:
-            atoms.append(data.x.flatten().numpy().astype(np.int32))
             e = data.edge_index.numpy()
-            src.append(e[0].astype(np.int32))
-            dst.append(e[1].astype(np.int32))
-            bond.append(data.edge_attr.flatten().numpy().astype(np.int32))
-            ys.append(float(data.y))
-            node_off.append(node_off[-1] + data.num_nodes)
-            edge_off.append(edge_off[-1] + e.shape[1])
-        np.savez_compressed(
-            f"{args.root}/zinc_{split}.npz",
-            node_offsets=np.asarray(node_off, dtype=np.int64),
-            edge_offsets=np.asarray(edge_off, dtype=np.int64),
-            atom_types=np.concatenate(atoms),
-            edge_src=np.concatenate(src),
-            edge_dst=np.concatenate(dst),
-            bond_types=np.concatenate(bond),
-            y=np.asarray(ys, dtype=np.float64),
-        )
-        print(f"wrote zinc_{split}.npz ({len(ys)} molecules)")
+            graphs.append(Graph(
+                edges=np.stack([e[0], e[1]], axis=1).astype(np.int32),
+                num_nodes=int(data.num_nodes), y=float(data.y),
+                node_labels=data.x.flatten().numpy().astype(np.int32),
+                edge_labels=data.edge_attr.flatten().numpy().astype(np.int32)))
+        save_zinc_npz(f"{args.root}/zinc_{split}.npz", graphs)
+        print(f"wrote zinc_{split}.npz ({len(graphs)} molecules)")
 
 
 if __name__ == "__main__":
