@@ -49,9 +49,16 @@ class GPSLayer(nn.Module):
         q = nn.Dense(d, name="q", dtype=self.dtype)(h).reshape(b, n, self.n_heads, hd)
         k = nn.Dense(d, name="k", dtype=self.dtype)(h).reshape(b, n, self.n_heads, hd)
         v = nn.Dense(d, name="v", dtype=self.dtype)(h).reshape(b, n, self.n_heads, hd)
-        attn = multi_head_attention(q, k, v, key_mask=mask).reshape(b, n, d)
+        # attn_dropout acts on the attention PROBABILITIES (GraphGPS passes
+        # it into torch MultiheadAttention); the residual-path dropout uses
+        # the general rate
+        p_attn = self.attn_dropout if not deterministic else 0.0
+        attn = multi_head_attention(
+            q, k, v, key_mask=mask, dropout_rate=p_attn,
+            dropout_rng=self.make_rng("dropout") if p_attn > 0 else None,
+        ).reshape(b, n, d)
         attn = nn.Dense(d, name="attn_out", dtype=self.dtype)(attn).astype(jnp.float32)
-        attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         h = h + attn
         h = MaskedBatchNorm(name="bn_attn")(h, mask, use_running_average=deterministic)
 

@@ -55,11 +55,18 @@ class EncoderLayer(nn.Module):
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
+        # attention-prob dropout (torch MultiheadAttention default,
+        # train_ibtt.py:45-50); the flash path intentionally skips it —
+        # probs are never materialized there
+        attn_drop = self.p_drop if (not deterministic and self.p_drop > 0) else 0.0
         if self.use_flash and seg is None:
             from ..ops.pallas_attention import flash_attention
             attn = flash_attention(q, k, v, key_mask)
         else:
-            attn = multi_head_attention(q, k, v, key_mask=key_mask, seg=seg)
+            attn = multi_head_attention(
+                q, k, v, key_mask=key_mask, seg=seg,
+                dropout_rate=attn_drop,
+                dropout_rng=self.make_rng("dropout") if attn_drop else None)
         attn = nn.Dense(d, name="out_proj", dtype=self.dtype)(attn.reshape(b, l, d))
         attn = nn.Dropout(self.p_drop, deterministic=deterministic)(attn)
         x = nn.LayerNorm(name="norm1")((x + attn).astype(jnp.float32))

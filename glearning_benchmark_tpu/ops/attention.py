@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 
@@ -22,12 +23,18 @@ def multi_head_attention(
     v: jnp.ndarray,            # [B, S, H, D]
     key_mask: Optional[jnp.ndarray] = None,  # [B, S] True = attend
     seg: Optional[jnp.ndarray] = None,       # [B, L] packed segment ids (0 = pad)
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention with key-padding mask. Returns [B, L, H, D].
 
     ``seg`` enables packed rows: tokens attend only within their own segment
     (block-diagonal mask, segment 0 = padding). The equality test fuses into
     the masking select — no [B, L, S] mask is materialized in HBM.
+
+    ``dropout_rate``/``dropout_rng`` apply dropout to the attention
+    probabilities (torch ``MultiheadAttention(dropout=p)`` semantics, which
+    ``nn.TransformerEncoderLayer`` enables by default — train_ibtt.py:45-50).
     """
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=q.dtype))
@@ -47,4 +54,7 @@ def multi_head_attention(
         # rows attending to nothing (fully padded) produce uniform softmax over
         # -inf; zero them out so padded queries emit exact zeros
         probs = jnp.where(allow, probs, 0.0)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhls,bshd->blhd", probs, v)

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Multi-host scaling measurement (BASELINE.json north star): byte-exact
+ZINC tokenization graphs/s and vocab-build bytes/s at N = 1, 2, 4 hosts.
+
+No pod hardware is available in this image, so "hosts" are N separate OS
+processes joined through ``jax.distributed.initialize`` with a local
+coordinator — real process isolation, real XLA collectives (Gloo), the
+same code path a pod slice would run. The corpus is the deterministic
+ZINC stand-in (each molecule derived from its global index), sharded
+contiguously with parallel/data.py; the vocab build all-gathers per-shard
+dynamic tokens and is id-identical to the single-process build
+(parallel/multiproc.py).
+
+    python tools/scaling_bench.py [--mols 40000] [--out SCALING.json]
+
+Writes a scaling table (throughput + efficiency vs N=1) to --out and
+prints it. Also reachable as ``tools/run_benchmarks.py --set scaling``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# child: one simulated host
+# ---------------------------------------------------------------------------
+
+def child_main(pid: int, nproc: int, port: int, n_mols: int, reps: int) -> None:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    if nproc > 1:
+        jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                                   num_processes=nproc, process_id=pid)
+    from jax.experimental import multihost_utils
+
+    sys.path.insert(0, REPO)
+    from glearning_benchmark_tpu.data.zinc import _synth_molecule
+    from glearning_benchmark_tpu.parallel.data import host_shard_bounds
+    from glearning_benchmark_tpu.parallel.multiproc import multiprocess_zinc_vocab
+    from glearning_benchmark_tpu.tokenization.ibtt_fast import (
+        corpus_ids_best,
+        flatten_zinc_corpus,
+    )
+    from glearning_benchmark_tpu.tokenization.ibtt import tokenize_zinc_molecule
+    from glearning_benchmark_tpu.tokenization.pack import pack_corpus
+
+    def sync():
+        if nproc > 1:
+            multihost_utils.sync_global_devices("phase")
+
+    # shard = contiguous global-index range; generation is untimed setup
+    start, end = host_shard_bounds(n_mols, pid, nproc)
+    mols = [_synth_molecule(777 + i) for i in range(start, end)]
+    # exact corpus text bytes (what the reference's Counter scans) — untimed
+    stream_bytes = sum(len(tokenize_zinc_molecule(m, max_len=1024).encode())
+                       for m in mols)
+
+    # measured phases, barrier-aligned; best-of-reps like bench.py
+    t_vocab = float("inf")
+    t_tok = float("inf")
+    vocab_size = 0
+    for _ in range(reps):
+        sync()
+        t0 = time.perf_counter()
+        flat = flatten_zinc_corpus(mols)
+        vocab = multiprocess_zinc_vocab(mols, flat=flat)
+        sync()
+        t_vocab = min(t_vocab, time.perf_counter() - t0)
+
+        sync()
+        t0 = time.perf_counter()
+        ids, lens = corpus_ids_best(mols, vocab, max_len=1024, flat=flat)
+        packed, _mask = pack_corpus(ids, lens, pad_id=vocab["<pad>"])
+        sync()
+        t_tok = min(t_tok, time.perf_counter() - t0)
+        vocab_size = len(vocab)
+
+    print(json.dumps({"pid": pid, "n": nproc, "mols": len(mols),
+                      "t_vocab": t_vocab, "t_tok": t_tok,
+                      "vocab_size": vocab_size,
+                      "stream_bytes": stream_bytes}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent: spawn N children per point, aggregate
+# ---------------------------------------------------------------------------
+
+def run_point(nproc: int, n_mols: int, reps: int, port: int) -> dict:
+    procs = []
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    for pid in range(nproc):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
+             "--mols", str(n_mols), "--reps", str(reps)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(f"child failed rc={p.returncode}:\n{err[-2000:]}")
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    total_mols = sum(o["mols"] for o in outs)
+    total_bytes = sum(o["stream_bytes"] for o in outs)
+    t_vocab = max(o["t_vocab"] for o in outs)   # slowest host gates the step
+    t_tok = max(o["t_tok"] for o in outs)
+    sizes = {o["vocab_size"] for o in outs}
+    assert len(sizes) == 1, f"vocab diverged across hosts: {sizes}"
+    return {"n_hosts": nproc, "mols": total_mols,
+            "tokenize_graphs_per_sec": total_mols / t_tok,
+            "vocab_bytes_per_sec": total_bytes / t_vocab,
+            "t_tok_s": t_tok, "t_vocab_s": t_vocab,
+            "vocab_size": sizes.pop()}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("--nproc", type=int, default=1)
+    ap.add_argument("--port", type=int, default=29531)
+    ap.add_argument("--mols", type=int, default=40000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--hosts", default="1,2,4")
+    ap.add_argument("--out", default="SCALING.json")
+    args = ap.parse_args()
+
+    if args.child:
+        child_main(args.pid, args.nproc, args.port, args.mols, args.reps)
+        return
+
+    points = []
+    for i, n in enumerate(int(x) for x in args.hosts.split(",")):
+        pt = run_point(n, args.mols, args.reps, args.port + i)
+        points.append(pt)
+        print(f"N={pt['n_hosts']}: tokenize {pt['tokenize_graphs_per_sec']:,.0f} g/s"
+              f" | vocab {pt['vocab_bytes_per_sec'] / 1e6:,.1f} MB/s"
+              f" (vocab_size={pt['vocab_size']})", flush=True)
+
+    base = points[0]
+    for pt in points:
+        n = pt["n_hosts"]
+        pt["tokenize_efficiency"] = (pt["tokenize_graphs_per_sec"]
+                                     / (n * base["tokenize_graphs_per_sec"]))
+        pt["vocab_efficiency"] = (pt["vocab_bytes_per_sec"]
+                                  / (n * base["vocab_bytes_per_sec"]))
+    result = {"workload": "zinc_standin_tokenize+vocab",
+              "mols": args.mols, "reps": args.reps,
+              "mode": "N separate processes, jax.distributed local coordinator,"
+                      " Gloo collectives, contiguous shards",
+              "points": points}
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(result, f, indent=1)
+    print("\nefficiency vs linear:",
+          {pt["n_hosts"]: round(pt["tokenize_efficiency"], 3) for pt in points},
+          "| vocab:",
+          {pt["n_hosts"]: round(pt["vocab_efficiency"], 3) for pt in points})
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
