@@ -169,7 +169,12 @@ def _fold_all(q, k, v, key_mask, block_l, block_s):
     bs = min(block_s, 512)
     blk = max(bl, bs)
     l_pad = -(-l // blk) * blk
-    d_pad = max(-(-d // 128) * 128, 128)
+    # D stays UNPADDED in HBM: a [*, block, D] window of a [BH, L, D] array
+    # is contiguous, so the DMA moves only real bytes; lane padding to 128
+    # happens in VMEM tiles only. (r1 padded D to 128 in HBM, which streamed
+    # 8-32x phantom K/V bytes at this benchmark's head dims 4-16 and made
+    # the kernel lose to XLA.) Sublane-align D to 8 for clean f32 tiling.
+    d_pad = -(-d // 8) * 8
     bh = b * h
     bh_pad = -(-bh // Z) * Z
 

@@ -55,3 +55,32 @@ def test_flash_attention_all_valid():
     ref = np.asarray(multi_head_attention(q, k, v, key_mask=mask))
     out = np.asarray(flash_attention(q, k, v, mask, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_flash_attention_gradients_match_xla():
+    """Custom-VJP gradients (dQ/dK/dV kernels) against XLA autodiff through
+    the dense reference, masked rows included (interpret mode). Also covers
+    head dims 4 (the benchmark's d16/4h shape) that stay unpadded in HBM."""
+    import jax
+
+    b, l, h, d = 2, 130, 4, 4
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, l, h, d)), dtype=jnp.float32)
+               for _ in range(3))
+    mask = np.ones((b, l), bool)
+    mask[1, 90:] = False
+    maskj = jnp.asarray(mask)
+    w = jnp.asarray(rng.normal(size=(b, l, h, d)), dtype=jnp.float32)
+    w = w * maskj[:, :, None, None]  # no gradient through padded rows
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, maskj, interpret=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(multi_head_attention(q, k, v, key_mask=maskj) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=1e-4)
