@@ -385,7 +385,8 @@ class RunLogger:
     """stdout + JSONL metrics log with the reference W&B key schema; uses
     wandb when available and enabled."""
 
-    def __init__(self, out_dir: str, run_name: str, wandb_cfg: dict, config: dict):
+    def __init__(self, out_dir: str, run_name: str, wandb_cfg: dict, config: dict,
+                 wandb_name: Optional[str] = None):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{run_name}_metrics.jsonl")
         self._f = open(self.path, "w")  # fresh log per run (reruns/retries otherwise contaminate analysis)
@@ -395,7 +396,10 @@ class RunLogger:
                 import wandb  # noqa: PLC0415
                 self.wandb = wandb
                 wandb.init(project=wandb_cfg.get("project", "graph-token"),
-                           name=run_name, config=config)
+                           name=wandb_name or run_name, config=config)
+                # (reference also calls wandb.watch(model) — torch-only
+                # gradient hooks with no flax equivalent; param/grad norms
+                # would need explicit logging instead)
             except Exception:
                 self.wandb = None
 
@@ -406,6 +410,17 @@ class RunLogger:
         self._f.flush()
         if self.wandb:
             self.wandb.log(d)
+
+    def log_image(self, key: str, img, caption: str = ""):
+        """W&B image (reference logs the test CM heatmap,
+        train_ibtt.py:650-651); local runs already save the PNG to disk."""
+        if self.wandb:
+            self.wandb.log({key: self.wandb.Image(img, caption=caption)})
+
+    def log_table(self, key: str, columns, data):
+        """W&B table (reference logs the CM as a table, train_ibtt.py:653-663)."""
+        if self.wandb:
+            self.wandb.log({key: self.wandb.Table(columns=columns, data=data)})
 
     def finish(self):
         self._f.close()
@@ -544,7 +559,14 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
 
     out_dir = output_cfg.get("out_dir", f"runs_{model_name}")
     run_name = output_cfg.get("run_name", f"{model_name}-{task}")
-    logger = RunLogger(out_dir, run_name, wandb_cfg, config)
+    # W&B run-name carries the training algorithms (train_ibtt.py:443-448);
+    # this naming is what the reference's figure column parser keys on
+    if task == "zinc":
+        wandb_name = run_name
+    else:
+        wandb_name = f"{run_name} ({'+'.join(dataset_cfg.get('train_algorithms', []))})"
+    logger = RunLogger(out_dir, run_name, wandb_cfg, config,
+                       wandb_name=wandb_name)
     logger.log({"model/num_parameters": num_params})
 
     better = (lambda a, b: a < b) if task == "zinc" else (lambda a, b: a > b)
@@ -710,9 +732,19 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     if task != "zinc" and "confusion_matrix" in te:
         try:
             from .viz import create_confusion_matrix_heatmap
-            img = create_confusion_matrix_heatmap(te["confusion_matrix"], task,
+            cm = te["confusion_matrix"]
+            img = create_confusion_matrix_heatmap(cm, task,
                                                   title="Test Confusion Matrix")
             img.save(os.path.join(out_dir, f"{run_name}_test_cm.png"))
+            # W&B CM image + table parity (train_ibtt.py:641-663)
+            logger.log_image("test/confusion_matrix_heatmap", img,
+                             caption="Confusion Matrix")
+            labels = (["No", "Yes"] if task == "cycle_check"
+                      else [f"len{i + 1}" for i in range(cm.shape[0])])
+            logger.log_table("test/confusion_matrix",
+                             ["True/Pred"] + labels,
+                             [[lab] + cm[i].tolist()
+                              for i, lab in enumerate(labels)])
         except Exception:
             pass
 
