@@ -43,12 +43,18 @@ ALGORITHMS = ("er", "ba", "sbm", "sfn", "complete", "star", "path")
 # v2: shortest_path emits ALL N(N-1)/2 pairs (reference parity — the r1
 #     64-pair emission cap changed the loader's 10-pairs/graph sampling
 #     distribution, VERDICT r1 weak #1)
-# v3: shortest_path labels are TRUE distances (uncapped); the r1/v2 cap at
-#     len7 (read off the reference's CM-display constant) made the task
-#     easier than the reference's — graph-native models overshot their
-#     baselines (mpnn 1.000 vs 0.8239) and sequence models saw a truncated
-#     label space (see shortest_path_records docstring)
-GENERATOR_VERSION = 3
+# v3: shortest_path labels were TRUE distances (uncapped) on the theory
+#     that the reference's len7 constant was display-only. FALSIFIED by
+#     measurement: retraining all four families on the uncapped corpus
+#     produced val macro-F1 0.01-0.10 (commit 198d2b6) where the reference
+#     publishes 0.54-0.93 for the same rows — an uncapped ~49-class label
+#     space cannot reproduce the published F1 surface.
+# v4: pairs beyond distance MAX_PATH_CLASSES are INF again (dropped by the
+#     loaders), restoring the len1..len7 label space the reference's own
+#     metrics module asserts (metrics.py:83-84 "len1-len7"); all-pairs
+#     emission from v2 is kept. Uncapped stays available via
+#     max_classes=None.
+GENERATOR_VERSION = 4
 
 _SIZE_BUCKETS = {
     "small": (10, 20),
@@ -265,24 +271,28 @@ def cycle_check_records(g: Graph, max_pairs: Optional[int] = None,
     return [{"text": text}]
 
 
-def shortest_path_records(g: Graph, max_classes: Optional[int] = None,
+def shortest_path_records(g: Graph, max_classes: Optional[int] = MAX_PATH_CLASSES,
                           max_pairs: Optional[int] = None, seed: int = 0) -> List[dict]:
-    """All N(N-1)/2 query pairs per graph with TRUE distances (reference
+    """All N(N-1)/2 query pairs per graph (reference
     docs/synthetic_data.md:141-150); the loader then samples
     ``num_pairs_per_graph`` from the full pair population exactly like the
-    reference (data_loader.py:157-206). ``INF`` is emitted only for
-    unreachable pairs (dropped by the loaders, data_loader.py:31-33).
+    reference (data_loader.py:157-206). ``INF`` is emitted for unreachable
+    pairs AND pairs beyond ``max_classes`` hops (both dropped by the
+    loaders, data_loader.py:31-33), bounding the label space to
+    len1..len{max_classes}.
 
-    ``max_classes`` (r1/r2-v2 behavior: 7) additionally INFs pairs beyond
-    that distance; the reference's metrics.py:83-84 hard-codes 7 only as a
-    confusion-matrix DISPLAY size — its label parser accepts any 'lenK'
-    (data_loader.py:34-40) and its model class count is determined from the
-    data, and the published accuracy/macro-F1 gaps (e.g. mpnn-sp 0.8239 acc
-    vs 0.5594 F1) carry the signature of a many-class imbalanced label
-    space, so uncapped is the parity default. ``max_pairs`` subsampling at
-    generation time exists for tests only — it changes the sampling
-    distribution and must stay OFF for benchmark corpora. The
-    graph-structure prefix is built once and shared across pairs."""
+    The len7 default matches the reference's observable corpus: its metrics
+    module asserts the class set is len1-len7 (metrics.py:83-84), and its
+    published validation macro-F1 (0.93 ibtt-sp, 0.97 agtt-sp, 0.54-0.56
+    mpnn/gps-sp — figures_data/shortest_path_f1.csv) is only reachable with
+    a ~7-class label space: a full uncapped-label campaign (commit 198d2b6)
+    measured macro-F1 0.01-0.10 across all four families. ``max_classes=
+    None`` keeps the uncapped variant available for non-parity corpora.
+
+    ``max_pairs`` subsampling at generation time exists for tests only — it
+    changes the sampling distribution and must stay OFF for benchmark
+    corpora. The graph-structure prefix is built once and shared across
+    pairs."""
     dist = all_pairs_distances(g)
     iu, iv = np.triu_indices(g.num_nodes, k=1)
     if max_pairs is not None and iu.shape[0] > max_pairs:

@@ -79,31 +79,32 @@ def test_known_topologies():
 
 
 def test_shortest_path_records():
+    """Default (v4, reference parity): all pairs emitted; distances beyond
+    len7 are INF (label None), matching the reference's len1-len7 class
+    space (ref metrics.py:83-84)."""
     g = G.generate_graph("path", 0)
     recs = G.shortest_path_records(g)
     assert len(recs) == g.num_nodes * (g.num_nodes - 1) // 2
-    # path graph: true distance between i and j is |i-j| (uncapped, v3)
-    for r in recs[:50]:
-        t = r["text"]
-        q = parse_query_nodes_from_text(t)
-        lab = parse_distance_label_from_text(t)
-        assert q is not None
-        u, v = q
-        assert lab == abs(u - v) - 1  # 0-indexed
-
-
-def test_shortest_path_records_cap_opt_in():
-    """The optional max_classes cap (r1/v2 behavior) still INFs long pairs."""
-    g = G.generate_graph("path", 0)
-    recs = G.shortest_path_records(g, max_classes=G.MAX_PATH_CLASSES)
     for r in recs:
         q = parse_query_nodes_from_text(r["text"])
         lab = parse_distance_label_from_text(r["text"])
+        assert q is not None
         u, v = q
         if abs(u - v) > G.MAX_PATH_CLASSES:
             assert lab is None
         else:
-            assert lab == abs(u - v) - 1
+            assert lab == abs(u - v) - 1  # 0-indexed
+
+
+def test_shortest_path_records_uncapped_opt_in():
+    """max_classes=None emits true distances for every reachable pair."""
+    g = G.generate_graph("path", 0)
+    recs = G.shortest_path_records(g, max_classes=None)
+    for r in recs[:50]:
+        q = parse_query_nodes_from_text(r["text"])
+        lab = parse_distance_label_from_text(r["text"])
+        u, v = q
+        assert lab == abs(u - v) - 1
 
 
 def test_label_parsers():

@@ -77,7 +77,9 @@ def test_shortest_path_distance_distribution():
             seen.update(np.unique(vals).tolist())
     assert len(seen) >= 8       # er/sbm short distances + path long tail
     assert min(seen) == 1
-    assert max(seen) > G.MAX_PATH_CLASSES  # true distances, uncapped (v3)
+    # raw graph distances (pre-labeling) have a long tail; the v4 corpus
+    # INFs pairs beyond MAX_PATH_CLASSES at record-emission time
+    assert max(seen) > G.MAX_PATH_CLASSES
 
 
 def test_graph_size_buckets():
