@@ -69,8 +69,9 @@ MAX_PATH_CLASSES = 7  # len1..len7
 # Graph generation
 # ---------------------------------------------------------------------------
 
-def _pick_num_nodes(rng: np.random.Generator) -> int:
-    bucket = ("small", "medium", "large")[rng.integers(0, 3)]
+def _pick_num_nodes(rng: np.random.Generator,
+                    buckets: Sequence[str] = ("small", "medium", "large")) -> int:
+    bucket = buckets[int(rng.integers(0, len(buckets)))]
     lo, hi = _SIZE_BUCKETS[bucket]
     return int(rng.integers(lo, hi))
 
@@ -182,10 +183,16 @@ def _gen_path(n: int) -> np.ndarray:
 
 
 def generate_graph(algorithm: str, seed: int,
-                   min_sparsity: float = 0.1, max_sparsity: float = 0.2) -> Graph:
-    """Generate one graph with a stable seed. ``y`` is left as 0 (task-free)."""
+                   min_sparsity: float = 0.1, max_sparsity: float = 0.2,
+                   size_buckets: Optional[Sequence[str]] = None) -> Graph:
+    """Generate one graph with a stable seed. ``y`` is left as 0 (task-free).
+
+    ``size_buckets`` restricts the node-count buckets (default all three:
+    small/medium/large = 10-20/20-40/40-50, docs/synthetic_data.md:122-136);
+    e.g. ``("small",)`` reproduces a corpus built from small graphs only."""
     rng = np.random.default_rng(seed)
-    n = _pick_num_nodes(rng)
+    n = _pick_num_nodes(rng, tuple(size_buckets) if size_buckets
+                        else ("small", "medium", "large"))
     p = float(rng.uniform(min_sparsity, max_sparsity))
     if algorithm == "er":
         edges = _gen_er(rng, n, p)
@@ -411,6 +418,7 @@ def generate_corpus(
     min_sparsity: float = 0.1,
     max_sparsity: float = 0.2,
     max_pairs_per_graph=_UNSET,
+    size_buckets: Optional[Sequence[str]] = None,
 ) -> None:
     """Write a graph-token-layout JSON corpus under ``root``.
 
@@ -432,7 +440,10 @@ def generate_corpus(
         ("val", "tasks_test", "val", test_graphs, 10_000_000),
         ("test", "tasks_test", "test", test_graphs, 20_000_000),
     ]
-    stamp = f"ok v{GENERATOR_VERSION}\n"
+    # the stamp encodes every generation knob that changes corpus content,
+    # so a root generated with different knobs regenerates rather than mixes
+    bucket_tag = "" if size_buckets is None else f" buckets={'+'.join(size_buckets)}"
+    stamp = f"ok v{GENERATOR_VERSION}{bucket_tag}\n"
     pair_kw = {} if max_pairs_per_graph is _UNSET else {"max_pairs": max_pairs_per_graph}
     for algo in algorithms:
         graphs_cache: dict = {}
@@ -453,7 +464,8 @@ def generate_corpus(
                 if split not in graphs_cache:
                     graphs_cache[split] = [
                         generate_graph(algo, graph_seed(seed, algo, split, idx_offset + i),
-                                       min_sparsity, max_sparsity)
+                                       min_sparsity, max_sparsity,
+                                       size_buckets=size_buckets)
                         for i in range(count)
                     ]
                 os.makedirs(out_dir, exist_ok=True)

@@ -145,7 +145,8 @@ def _resolve_corpus_root(dataset_cfg: dict, seed: int) -> str:
         list(dataset_cfg.get("train_algorithms", [])) +
         [dataset_cfg.get("test_algorithm", "sfn")]))
     ensure_corpus(root, tasks=(dataset_cfg["task"],), algorithms=algos,
-                  number_of_graphs=n, seed=1234)
+                  number_of_graphs=n, seed=1234,
+                  size_buckets=dataset_cfg.get("size_buckets"))
     return root
 
 
