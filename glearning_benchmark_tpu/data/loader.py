@@ -102,6 +102,41 @@ def _extract_text_and_label(rec: Any, task: str):
     return t, parse_yes_no_from_text(t), None
 
 
+_NATIVE_SCAN_TASKS = ("cycle_check", "shortest_path")
+
+
+def _scan_file_native(path: str, task: str):
+    """Native strict-layout corpus scan (native/gtok.cpp) or None.
+
+    Byte-identical to the Python path on every file it accepts (the
+    scanner bails to None on anything but the exact layout the generator
+    writes — escapes, extra keys, JSONL, non-ASCII — so the reference's
+    format-tolerant surface is preserved); cross-checked by
+    tests/test_native.py."""
+    if task not in _NATIVE_SCAN_TASKS:
+        return None
+    try:
+        from ..native import scan_corpus_file
+    except Exception:
+        return None
+    try:
+        return scan_corpus_file(path, task)
+    except Exception:
+        return None
+
+
+def _entry_from_scan(scan, i: int) -> Dict[str, Any]:
+    buf, offs, lens, labels, has_q, qu, qv = scan
+    text = buf[offs[i]:offs[i] + lens[i]].decode("ascii")
+    entry: Dict[str, Any] = {
+        "text": text,
+        "label": None if labels[i] == -2 else int(labels[i]),
+    }
+    if has_q[i]:
+        entry["query_u"], entry["query_v"] = int(qu[i]), int(qv[i])
+    return entry
+
+
 def _read_records(path: str) -> List[Any]:
     with open(path, "r") as f:
         raw = f.read().strip()
@@ -165,7 +200,31 @@ def load_examples(
 
     out: List[Dict[str, Any]] = []
     pair_rng = random.Random(seed)
+    sample_pairs = task == "shortest_path" and num_pairs_per_graph is not None
     for fp in files:
+        scan = _scan_file_native(fp, task)
+        if scan is not None:
+            # native fast path: texts are materialized lazily, so under
+            # pair sampling only the ~num_pairs_per_graph selected records
+            # (of up to N(N-1)/2 in the file) become Python strings.
+            # Sampling consumes the SAME RNG stream as the Python path:
+            # random.Random.sample's draws depend only on the population
+            # length, so sampling candidate indices selects the exact
+            # records rng.sample(file_examples, k) would.
+            lens_arr, has_q_arr = scan[2], scan[4]
+            n_recs = len(lens_arr)
+            if sample_pairs:
+                # Python path admits only records with query nodes (empty
+                # texts can't carry one)
+                cand = [i for i in range(n_recs) if has_q_arr[i]]
+                if len(cand) > num_pairs_per_graph:
+                    cand = pair_rng.sample(cand, num_pairs_per_graph)
+                out.extend(_entry_from_scan(scan, i) for i in cand)
+            else:
+                # Python path skips empty texts ("if not t: continue")
+                out.extend(_entry_from_scan(scan, i) for i in range(n_recs)
+                           if lens_arr[i] > 0)
+            continue
         recs = _read_records(fp)
         file_examples: List[Dict[str, Any]] = []
         for rec in recs:
@@ -175,12 +234,12 @@ def load_examples(
             entry: Dict[str, Any] = {"text": t, "label": y}
             if q is not None:
                 entry["query_u"], entry["query_v"] = q
-            if task == "shortest_path" and num_pairs_per_graph is not None:
+            if sample_pairs:
                 if q is not None:
                     file_examples.append(entry)
             else:
                 out.append(entry)
-        if task == "shortest_path" and num_pairs_per_graph is not None:
+        if sample_pairs:
             if len(file_examples) > num_pairs_per_graph:
                 file_examples = pair_rng.sample(file_examples, num_pairs_per_graph)
             out.extend(file_examples)

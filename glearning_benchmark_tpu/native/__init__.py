@@ -70,6 +70,12 @@ def get_lib():
     lib.gtok_zinc_vocab_stream.argtypes = [
         i32p, i32p, i64p, f64p, ctypes.c_int32, ctypes.c_int32,
         i64p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
+    lib.gtok_corpus_scan.restype = ctypes.c_void_p
+    lib.gtok_corpus_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.gtok_corpus_fill.argtypes = [
+        ctypes.c_void_p, i64p, i64p, i32p, i32p, i32p, i32p]
+    lib.gtok_corpus_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -266,3 +272,45 @@ def sent_tokenize_batch_native(
     if rc != 0:
         raise RuntimeError(f"gtok_sent_tokenize_batch failed: {rc}")
     return out, lens
+
+
+_CORPUS_TASK_KINDS = {"cycle_check": 0, "shortest_path": 1}
+
+
+def scan_corpus_file(path: str, task: str):
+    """Native scan of one strict-layout graph-token corpus JSON file
+    (native/gtok.cpp gtok_corpus_scan).
+
+    Returns ``(buf, offs, lens, labels, has_q, qu, qv)`` — text i is
+    ``buf[offs[i]:offs[i]+lens[i]]`` (ASCII, decode lazily), ``labels``
+    uses -2 for Python None, ``qu``/``qv`` are meaningful where
+    ``has_q`` is 1 — or ``None`` when the library is unavailable, the
+    task is not one of the two reference tasks, or the file deviates from
+    the strict layout (the caller must fall back to the Python reader in
+    either case).
+    """
+    kind = _CORPUS_TASK_KINDS.get(task)
+    lib = get_lib()
+    if kind is None or lib is None:
+        return None
+    with open(path, "rb") as f:
+        buf = f.read()
+    n = ctypes.c_int64(0)
+    handle = lib.gtok_corpus_scan(buf, len(buf), kind, ctypes.byref(n))
+    if not handle:
+        return None
+    try:
+        count = n.value
+        offs = np.empty(count, dtype=np.int64)
+        lens = np.empty(count, dtype=np.int64)
+        labels = np.empty(count, dtype=np.int32)
+        has_q = np.empty(count, dtype=np.int32)
+        qu = np.empty(count, dtype=np.int32)
+        qv = np.empty(count, dtype=np.int32)
+        if count:
+            lib.gtok_corpus_fill(handle, _i64p(offs), _i64p(lens),
+                                 _i32p(labels), _i32p(has_q), _i32p(qu),
+                                 _i32p(qv))
+    finally:
+        lib.gtok_corpus_free(handle)
+    return buf, offs, lens, labels, has_q, qu, qv

@@ -13,9 +13,11 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -341,5 +343,249 @@ int32_t gtok_zinc_vocab_stream(
   if (blob_len < label_blob_cap) label_blob[blob_len] = '\0';
   return n_out;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// corpus scanning: parse a graph-token JSON corpus file without building
+// Python objects. Strict layout only — exactly what data/generator.py
+// writes: a JSON array of {"text": "..."} objects, ASCII, no escapes.
+// Anything else (JSONL, extra keys, escapes, non-ASCII) returns null and
+// the caller falls back to the Python reader, so behavior on the full
+// format-tolerant surface (reference data_loader.py:112-245) is unchanged.
+// Labels/queries are parsed with the exact semantics of
+// data/text_grammar.py (itself mirroring reference data_loader.py:12-55).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CorpusRec {
+  int64_t off, len;       // text span within the caller's buffer
+  int32_t label;          // parsed label; -2 encodes Python None
+  int32_t has_q;          // 1 when a query parsed (query ints may be any value)
+  int32_t qu, qv;
+};
+
+struct CorpusScan {
+  std::vector<CorpusRec> recs;
+};
+
+inline bool is_ws(unsigned char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+         c == '\v';
+}
+
+// Python-int semantics on ASCII tokens: [+-]? digit ('_'? digit)*
+// (underscores allowed singly between digits). Returns false on anything
+// int() would reject.
+bool parse_py_int(const char* s, int64_t n, long long* out) {
+  int64_t i = 0;
+  bool neg = false;
+  if (i < n && (s[i] == '+' || s[i] == '-')) {
+    neg = s[i] == '-';
+    ++i;
+  }
+  if (i >= n) return false;
+  long long v = 0;
+  bool prev_digit = false;
+  bool any_digit = false;
+  for (; i < n; ++i) {
+    char c = s[i];
+    if (c >= '0' && c <= '9') {
+      v = v * 10 + (c - '0');
+      if (v > (1LL << 60)) return false;  // labels/ids are small; overflow = reject
+      prev_digit = any_digit = true;
+    } else if (c == '_') {
+      if (!prev_digit) return false;  // '_' must follow a digit…
+      prev_digit = false;
+    } else {
+      return false;
+    }
+  }
+  if (!prev_digit || !any_digit) return false;  // …and precede one
+  *out = neg ? -v : v;
+  return true;
+}
+
+inline bool tok_eq(const char* s, int64_t n, const char* lit) {
+  int64_t m = static_cast<int64_t>(std::strlen(lit));
+  return n == m && std::memcmp(s, lit, m) == 0;
+}
+
+inline bool tok_eq_upper(const char* s, int64_t n, const char* lit_upper) {
+  int64_t m = static_cast<int64_t>(std::strlen(lit_upper));
+  if (n != m) return false;
+  for (int64_t i = 0; i < m; ++i) {
+    char c = s[i];
+    if (c >= 'a' && c <= 'z') c = static_cast<char>(c - 'a' + 'A');
+    if (c != lit_upper[i]) return false;
+  }
+  return true;
+}
+
+// whitespace-tokenize a span (Python str.split semantics) into (ptr, len)
+void split_tokens(const char* s, int64_t n,
+                  std::vector<std::pair<const char*, int64_t>>* toks) {
+  toks->clear();
+  int64_t i = 0;
+  while (i < n) {
+    while (i < n && is_ws(static_cast<unsigned char>(s[i]))) ++i;
+    int64_t start = i;
+    while (i < n && !is_ws(static_cast<unsigned char>(s[i]))) ++i;
+    if (i > start) toks->emplace_back(s + start, i - start);
+  }
+}
+
+// text_grammar.parse_yes_no_from_text: LAST yes/no token wins
+int32_t parse_yes_no(const std::vector<std::pair<const char*, int64_t>>& t) {
+  for (int64_t i = static_cast<int64_t>(t.size()) - 1; i >= 0; --i) {
+    if (tok_eq_upper(t[i].first, t[i].second, "YES")) return 1;
+    if (tok_eq_upper(t[i].first, t[i].second, "NO")) return 0;
+  }
+  return -2;
+}
+
+// text_grammar.parse_distance_label_from_text
+int32_t parse_distance(const std::vector<std::pair<const char*, int64_t>>& t) {
+  for (size_t i = 0; i + 1 < t.size(); ++i) {
+    if (!tok_eq(t[i].first, t[i].second, "<p>")) continue;
+    const char* s = t[i + 1].first;
+    int64_t n = t[i + 1].second;
+    if (tok_eq_upper(s, n, "INF") || tok_eq_upper(s, n, "INFINITY") ||
+        tok_eq_upper(s, n, "<EOS>")) {
+      return -2;  // unreachable -> None
+    }
+    if (n >= 3 && tok_eq_upper(s, 3, "LEN")) {
+      long long v;
+      if (parse_py_int(s + 3, n - 3, &v)) {
+        return static_cast<int32_t>(v - 1);
+      }
+      // ValueError -> keep scanning for another '<p>' (reference behavior)
+    }
+  }
+  return -2;
+}
+
+// text_grammar.parse_query_nodes_from_text
+bool parse_query(const std::vector<std::pair<const char*, int64_t>>& t,
+                 int32_t* qu, int32_t* qv) {
+  for (size_t i = 0; i + 3 < t.size(); ++i) {
+    if (!tok_eq(t[i].first, t[i].second, "<q>")) continue;
+    if (!tok_eq(t[i + 1].first, t[i + 1].second, "shortest_distance")) continue;
+    long long u, v;
+    if (parse_py_int(t[i + 2].first, t[i + 2].second, &u) &&
+        parse_py_int(t[i + 3].first, t[i + 3].second, &v)) {
+      *qu = static_cast<int32_t>(u);
+      *qv = static_cast<int32_t>(v);
+      return true;
+    }
+    // ValueError -> keep scanning (reference behavior)
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan a strict graph-token corpus JSON buffer.
+//   task_kind: 0 = cycle_check (yes/no label, no query)
+//              1 = shortest_path (lenK/INF label + '<q> shortest_distance u v')
+// Returns an opaque handle (free with gtok_corpus_free) and sets *out_n,
+// or null if the buffer deviates from the strict layout.
+void* gtok_corpus_scan(const char* buf, int64_t n_bytes, int32_t task_kind,
+                       int64_t* out_n) {
+  auto scan = std::unique_ptr<CorpusScan>(new CorpusScan());
+  std::vector<std::pair<const char*, int64_t>> toks;
+  int64_t i = 0;
+  auto skip_ws = [&]() {
+    while (i < n_bytes && is_ws(static_cast<unsigned char>(buf[i]))) ++i;
+  };
+  skip_ws();
+  if (i >= n_bytes || buf[i] != '[') return nullptr;
+  ++i;
+  skip_ws();
+  bool first = true;
+  while (i < n_bytes && buf[i] != ']') {
+    if (!first) {
+      if (buf[i] != ',') return nullptr;
+      ++i;
+      skip_ws();
+    }
+    first = false;
+    // {"text": "...."}
+    if (i >= n_bytes || buf[i] != '{') return nullptr;
+    ++i;
+    skip_ws();
+    const char kText[] = "\"text\"";
+    if (i + 6 > n_bytes || std::memcmp(buf + i, kText, 6) != 0) return nullptr;
+    i += 6;
+    skip_ws();
+    if (i >= n_bytes || buf[i] != ':') return nullptr;
+    ++i;
+    skip_ws();
+    if (i >= n_bytes || buf[i] != '"') return nullptr;
+    ++i;
+    int64_t start = i;
+    while (i < n_bytes) {
+      unsigned char c = static_cast<unsigned char>(buf[i]);
+      if (c == '"') break;
+      // escapes or non-ASCII would make raw bytes differ from the decoded
+      // string (and Python int() accepts non-ASCII digits) -> fall back
+      if (c == '\\' || c < 0x20 || c >= 0x80) return nullptr;
+      ++i;
+    }
+    if (i >= n_bytes) return nullptr;
+    int64_t tlen = i - start;
+    ++i;  // closing quote
+    skip_ws();
+    if (i >= n_bytes || buf[i] != '}') return nullptr;  // extra keys -> fallback
+    ++i;
+    skip_ws();
+
+    // Python's loader strips each text (loader._extract_text_and_label);
+    // store the stripped span so materialized strings match byte-for-byte
+    while (tlen > 0 && is_ws(static_cast<unsigned char>(buf[start]))) {
+      ++start;
+      --tlen;
+    }
+    while (tlen > 0 &&
+           is_ws(static_cast<unsigned char>(buf[start + tlen - 1]))) {
+      --tlen;
+    }
+    CorpusRec rec{start, tlen, -2, 0, 0, 0};
+    split_tokens(buf + start, tlen, &toks);
+    if (task_kind == 1) {
+      rec.label = parse_distance(toks);
+      rec.has_q = parse_query(toks, &rec.qu, &rec.qv) ? 1 : 0;
+    } else {
+      rec.label = parse_yes_no(toks);
+    }
+    scan->recs.push_back(rec);
+  }
+  if (i >= n_bytes || buf[i] != ']') return nullptr;
+  ++i;
+  skip_ws();
+  if (i != n_bytes) return nullptr;  // trailing garbage (e.g. JSONL) -> fallback
+  *out_n = static_cast<int64_t>(scan->recs.size());
+  return scan.release();
+}
+
+void gtok_corpus_fill(void* handle, int64_t* offs, int64_t* lens,
+                      int32_t* labels, int32_t* has_q, int32_t* qu,
+                      int32_t* qv) {
+  auto* scan = static_cast<CorpusScan*>(handle);
+  for (size_t k = 0; k < scan->recs.size(); ++k) {
+    const CorpusRec& r = scan->recs[k];
+    offs[k] = r.off;
+    lens[k] = r.len;
+    labels[k] = r.label;
+    has_q[k] = r.has_q;
+    qu[k] = r.qu;
+    qv[k] = r.qv;
+  }
+}
+
+void gtok_corpus_free(void* handle) { delete static_cast<CorpusScan*>(handle); }
 
 }  // extern "C"

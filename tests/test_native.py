@@ -67,3 +67,85 @@ def test_encode_native_oov_and_strip():
     assert lens[0] == 3
     assert ids[0, 0] == vocab["<pad>"]
     assert ids[0, 2] == vocab["<p>"]
+
+
+# ---------------------------------------------------------------------------
+# corpus scanner
+# ---------------------------------------------------------------------------
+
+def _load_both_ways(root, task, algos, split, **kw):
+    """load_examples_multi_algorithm with the native scanner on vs forced off."""
+    from unittest import mock
+
+    from glearning_benchmark_tpu.data import loader
+
+    fast = loader.load_examples_multi_algorithm(str(root), task, algos, split, **kw)
+    with mock.patch.object(loader, "_scan_file_native", lambda *a: None):
+        slow = loader.load_examples_multi_algorithm(str(root), task, algos, split, **kw)
+    return fast, slow
+
+
+@pytest.fixture(scope="module")
+def scan_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scan_corpus")
+    G.generate_corpus(str(root), tasks=("cycle_check", "shortest_path"),
+                      algorithms=("ba", "path", "er"), number_of_graphs=15)
+    return root
+
+
+def test_corpus_scan_cycle_identical(scan_corpus):
+    fast, slow = _load_both_ways(scan_corpus, "cycle_check", ["ba", "er"], "train",
+                                 seed=3)
+    assert fast == slow and len(fast) == 30
+
+
+def test_corpus_scan_sp_identical_sampled(scan_corpus):
+    """Pair sampling must pick the same records in the same order (same RNG
+    stream), including INF (label-None) entries."""
+    for seed in (0, 7):
+        fast, slow = _load_both_ways(
+            scan_corpus, "shortest_path", ["path", "er"], "train",
+            seed=seed, num_pairs_per_graph=10)
+        assert fast == slow
+        assert any(e["label"] is None for e in fast)  # INF pairs sampled too
+
+
+def test_corpus_scan_sp_identical_unsampled(scan_corpus):
+    fast, slow = _load_both_ways(scan_corpus, "shortest_path", ["path"], "val",
+                                 seed=1)
+    assert fast == slow and len(fast) > 0
+
+
+def test_corpus_scan_strict_gate_falls_back(tmp_path):
+    """Files outside the strict generator layout must scan to None (the
+    Python format-tolerant reader then handles them)."""
+    cases = {
+        "jsonl.json": '{"text": "<bos> 0 1 <e> <q> has_cycle <p> yes <eos>"}\n'
+                      '{"text": "<bos> <q> has_cycle <p> no <eos>"}',
+        "extra_key.json": '[{"text": "<bos> <q> has_cycle <p> yes <eos>", "label": 1}]',
+        "escape.json": '[{"text": "a \\u003cp> yes"}]',
+        "nonascii.json": '[{"text": "café yes"}]',
+        "raw.json": "<bos> 0 1 <e> <q> has_cycle <p> yes <eos>",
+    }
+    from glearning_benchmark_tpu.data.loader import _scan_file_native, load_examples
+    for name, content in cases.items():
+        fp = tmp_path / name
+        fp.write_text(content)
+        assert _scan_file_native(str(fp), "cycle_check") is None, name
+    # and the overall loader still reads them through the fallback
+    ex = load_examples(str(tmp_path / "*.json"), task="cycle_check")
+    assert len(ex) == 6 and all(e["label"] in (0, 1) for e in ex)
+
+
+def test_corpus_scan_accepts_strict_and_strips(tmp_path):
+    from glearning_benchmark_tpu.data.loader import load_examples
+    fp = tmp_path / "g.json"
+    fp.write_text('[{"text": "  <bos> 0 1 <e> <n> 0 1 '
+                  '<q> shortest_distance 0 1 <p> len1 <eos>  "},'
+                  ' {"text": "<bos> <n> 0 <q> shortest_distance 0 0 <p> INF <eos>"}]')
+    from glearning_benchmark_tpu.data.loader import _scan_file_native
+    assert _scan_file_native(str(fp), "shortest_path") is not None
+    ex = load_examples(str(tmp_path / "*.json"), task="shortest_path")
+    assert ex[0]["text"].startswith("<bos>") and ex[0]["text"].endswith("<eos>")
+    assert ex[0]["label"] == 0 and ex[0]["query_u"] == 0 and ex[0]["query_v"] == 1
+    assert ex[1]["label"] is None
