@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""A/B: Pallas flash attention vs XLA dot-general attention at the
+benchmark's shapes (VERDICT r1 next-step #3).
+
+Times forward and forward+backward at steady state (best-of-reps, jitted,
+block_until_ready) for the shapes the four training configs actually run:
+
+    ibtt  synthetic: B=128 L=640  H=4 D=4    (d_model 16)
+    agtt  synthetic: B=128 L=640  H=4 D=8    (d_model 32)
+    agtt  zinc:      B=128 L=1024 H=4 D=16   (d_model 64)
+    long  (stress):  B=16  L=2048 H=4 D=16
+
+Decision rule (north star: Pallas only where XLA is not at roofline): if
+flash wins at the benchmark shapes, flip model.use_flash default; else
+record the roofline note justifying XLA. Writes FLASH_AB.json.
+
+    python tools/flash_ab.py            # on the TPU (serial — single client)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHAPES = [
+    ("ibtt-sp", 128, 640, 4, 4),
+    ("agtt-sp", 128, 640, 4, 8),
+    ("agtt-zinc", 128, 1024, 4, 16),
+    ("long", 16, 2048, 4, 16),
+]
+
+
+def bench(fn, args, reps=20, warmup=3):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from glearning_benchmark_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from glearning_benchmark_tpu.ops.attention import multi_head_attention
+    from glearning_benchmark_tpu.ops.pallas_attention import flash_attention
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    results = []
+    for name, b, l, h, d, in SHAPES:
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        dt = jnp.bfloat16
+        q = jax.random.normal(kq, (b, l, h, d), dt)
+        k = jax.random.normal(kk, (b, l, h, d), dt)
+        v = jax.random.normal(kv, (b, l, h, d), dt)
+        # realistic raggedness: valid lengths 50-100% of L
+        lens = jax.random.randint(jax.random.PRNGKey(1), (b,), l // 2, l + 1)
+        mask = jnp.arange(l)[None, :] < lens[:, None]
+
+        xla_f = jax.jit(lambda q, k, v, m: multi_head_attention(q, k, v, m))
+        fla_f = jax.jit(lambda q, k, v, m: flash_attention(q, k, v, m))
+
+        def loss_xla(q, k, v, m):
+            return multi_head_attention(q, k, v, m).astype(jnp.float32).sum()
+
+        def loss_fla(q, k, v, m):
+            return flash_attention(q, k, v, m).astype(jnp.float32).sum()
+
+        xla_g = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))
+        fla_g = jax.jit(jax.grad(loss_fla, argnums=(0, 1, 2)))
+
+        row = {"shape": name, "B": b, "L": l, "H": h, "D": d}
+        row["xla_fwd_ms"] = round(bench(xla_f, (q, k, v, mask)) * 1e3, 3)
+        row["flash_fwd_ms"] = round(bench(fla_f, (q, k, v, mask)) * 1e3, 3)
+        row["xla_fwdbwd_ms"] = round(bench(xla_g, (q, k, v, mask)) * 1e3, 3)
+        row["flash_fwdbwd_ms"] = round(bench(fla_g, (q, k, v, mask)) * 1e3, 3)
+        row["fwd_speedup"] = round(row["xla_fwd_ms"] / row["flash_fwd_ms"], 2)
+        row["fwdbwd_speedup"] = round(row["xla_fwdbwd_ms"] / row["flash_fwdbwd_ms"], 2)
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    with open("FLASH_AB.json", "w") as f:
+        json.dump({"backend": jax.default_backend(), "dtype": "bfloat16",
+                   "rows": results}, f, indent=1)
+    print("wrote FLASH_AB.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
