@@ -21,4 +21,4 @@ models/ + ops/ (compute), train/ (L2 unified engine), parallel/ (new), and
 train.py (L3 CLI).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.2.1"

@@ -76,6 +76,7 @@ class GraphBatch:
     num_nodes: np.ndarray    # [B] int32
     query_u: Optional[np.ndarray] = None  # [B] int32
     query_v: Optional[np.ndarray] = None  # [B] int32
+    eadj: Optional[np.ndarray] = None     # [B, N, N] uint8 edge types (0 = none)
 
     @property
     def batch_size(self) -> int:
@@ -97,6 +98,7 @@ def batch_graphs(
     node_feat_mode: str = "const",
     query_encoding: bool = False,
     label_dtype=np.int32,
+    edge_types: bool = False,
 ) -> GraphBatch:
     """Batch graphs to dense padded arrays.
 
@@ -105,11 +107,15 @@ def batch_graphs(
       - "labels": one-feature int node labels as float [N,1] (ZINC atoms)
     query_encoding: append two binary columns marking (source, target)
       (reference: add_query_encoding_to_features, nativegraph.py:16-31).
+    edge_types: also emit ``eadj`` [B,N,N] uint8 holding each edge's label
+      (ZINC bond types 1-4, 0 = no edge) for edge-featured message passing
+      (GINE); graphs without ``edge_labels`` contribute type 1 edges.
     """
     b = len(graphs)
     n = pad_graphs(graphs, n_max)
     feat_dim = 1 + (2 if query_encoding else 0)
     adj = np.zeros((b, n, n), dtype=np.float32)
+    eadj = np.zeros((b, n, n), dtype=np.uint8) if edge_types else None
     x = np.zeros((b, n, feat_dim), dtype=np.float32)
     mask = np.zeros((b, n), dtype=bool)
     y = np.zeros((b,), dtype=label_dtype)
@@ -124,6 +130,12 @@ def batch_graphs(
             u, v = g.edges[:, 0], g.edges[:, 1]
             adj[i, u, v] = 1.0
             adj[i, v, u] = 1.0
+            if eadj is not None:
+                et = (g.edge_labels.astype(np.uint8)
+                      if g.edge_labels is not None
+                      else np.ones(len(u), dtype=np.uint8))
+                eadj[i, u, v] = et
+                eadj[i, v, u] = et
         if node_feat_mode == "labels" and g.node_labels is not None:
             x[i, :k, 0] = g.node_labels.astype(np.float32)
         else:
@@ -139,4 +151,4 @@ def batch_graphs(
                 x[i, g.query_v, 2] = 1.0
 
     return GraphBatch(adj=adj, node_feat=x, node_mask=mask, y=y, num_nodes=nn,
-                      query_u=qu, query_v=qv)
+                      query_u=qu, query_v=qv, eadj=eadj)

@@ -33,13 +33,16 @@ class GPSLayer(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.1
     dtype: Any = jnp.float32
+    num_edge_types: int = 0   # >0 switches the local block to GINE messages
 
     @nn.compact
-    def __call__(self, h, adj, mask, deterministic: bool):
+    def __call__(self, h, adj, mask, deterministic: bool, etype=None):
         b, n, d = h.shape
-        # local MPNN block (GIN)
-        local = GINLayer(self.dim, self.dropout, self.dtype, name="local_gin")(
-            h, adj, mask, deterministic)
+        # local MPNN block (GIN, or GINE when edge types are provided)
+        local = GINLayer(self.dim, self.dropout, self.dtype,
+                         num_edge_types=self.num_edge_types,
+                         name="local_gin")(
+            h, adj, mask, deterministic, etype=etype)
         local = nn.Dropout(self.dropout, deterministic=deterministic)(local)
         h = h + local
         h = MaskedBatchNorm(name="bn_local")(h, mask, use_running_average=deterministic)
@@ -84,14 +87,21 @@ class GPSModel(nn.Module):
     num_classes: int = 2
     task: str = "cycle_check"
     compute_dtype: str = "float32"
+    edge_features: bool = False   # GINE local messages (model.edge_features)
+    num_edge_types: int = 4       # ZINC bond types
 
     @nn.compact
-    def __call__(self, node_feat, adj, mask, deterministic: bool = True):
+    def __call__(self, node_feat, adj, mask, deterministic: bool = True,
+                 etype=None):
         cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        use_e = self.edge_features and etype is not None
         h = nn.Dense(self.dim, name="node_encoder")(node_feat)
         for i in range(self.num_layers):
             h = GPSLayer(self.dim, self.n_heads, self.dropout, self.attn_dropout,
-                         cdtype, name=f"gps_{i}")(h, adj, mask, deterministic)
+                         cdtype,
+                         num_edge_types=self.num_edge_types if use_e else 0,
+                         name=f"gps_{i}")(h, adj, mask, deterministic,
+                                          etype=etype if use_e else None)
         h = h * mask[..., None].astype(h.dtype)
         if self.pooling == "mean":
             g = masked_mean(h, mask)

@@ -58,18 +58,38 @@ class MaskedBatchNorm(nn.Module):
 
 class GINLayer(nn.Module):
     """One GIN convolution: MLP((1+eps)h + A@h) with the reference's inner
-    MLP shape Linear->BN->ReLU->Dropout->Linear (train_mpnn.py:44-50)."""
+    MLP shape Linear->BN->ReLU->Dropout->Linear (train_mpnn.py:44-50).
+
+    With ``num_edge_types`` > 0 and an ``etype`` matrix, messages are
+    edge-featured (GINE, beyond the reference's edge-feature-free GINConv):
+    m_i = sum_j ReLU(h_j + e_{ij}). Because edge features are a small
+    discrete set (ZINC bonds 1-4), the sum factors by type into
+    sum_t A_t @ ReLU(h + emb_t) — ``num_edge_types`` batched [N,N]x[N,F]
+    matmuls on the MXU, never materializing an [B,N,N,F] message tensor."""
 
     hidden: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    num_edge_types: int = 0
 
     @nn.compact
-    def __call__(self, h, adj, mask, deterministic: bool):
+    def __call__(self, h, adj, mask, deterministic: bool, etype=None):
         eps = self.param("eps", nn.initializers.zeros, ())
-        agg = (1.0 + eps) * h + jnp.einsum(
-            "bij,bjf->bif", adj.astype(self.dtype), h.astype(self.dtype),
-            preferred_element_type=jnp.float32)
+        if self.num_edge_types > 0 and etype is not None:
+            emb = self.param("edge_emb", nn.initializers.normal(0.02),
+                             (self.num_edge_types, h.shape[-1]))
+            msg = jnp.zeros(h.shape, dtype=jnp.float32)
+            for t in range(1, self.num_edge_types + 1):
+                a_t = (etype == t).astype(self.dtype)
+                msg = msg + jnp.einsum(
+                    "bij,bjf->bif", a_t,
+                    nn.relu(h.astype(self.dtype) + emb[t - 1].astype(self.dtype)),
+                    preferred_element_type=jnp.float32)
+            agg = (1.0 + eps) * h + msg
+        else:
+            agg = (1.0 + eps) * h + jnp.einsum(
+                "bij,bjf->bif", adj.astype(self.dtype), h.astype(self.dtype),
+                preferred_element_type=jnp.float32)
         y = nn.Dense(self.hidden, name="mlp1", dtype=self.dtype)(agg)
         y = MaskedBatchNorm(name="mlp_bn")(
             y.astype(jnp.float32), mask, use_running_average=deterministic)
@@ -88,15 +108,23 @@ class MPNN(nn.Module):
     num_classes: int = 2
     task: str = "cycle_check"
     compute_dtype: str = "float32"
+    edge_features: bool = False   # GINE messages (model.edge_features)
+    num_edge_types: int = 4       # ZINC bond types
 
     @nn.compact
-    def __call__(self, node_feat, adj, mask, deterministic: bool = True):
-        """node_feat [B,N,F], adj [B,N,N], mask [B,N] -> logits [B, C]."""
+    def __call__(self, node_feat, adj, mask, deterministic: bool = True,
+                 etype=None):
+        """node_feat [B,N,F], adj [B,N,N], mask [B,N] -> logits [B, C].
+        ``etype`` [B,N,N] int edge types (0 = no edge), used only when
+        ``edge_features`` is on."""
         cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        use_e = self.edge_features and etype is not None
         h = nn.Dense(self.hidden_dim, name="node_encoder")(node_feat)
         for i in range(self.num_layers):
-            h = GINLayer(self.hidden_dim, self.dropout, cdtype, name=f"conv_{i}")(
-                h, adj, mask, deterministic)
+            h = GINLayer(self.hidden_dim, self.dropout, cdtype,
+                         num_edge_types=self.num_edge_types if use_e else 0,
+                         name=f"conv_{i}")(
+                h, adj, mask, deterministic, etype=etype if use_e else None)
             h = MaskedBatchNorm(name=f"bn_{i}")(h, mask, use_running_average=deterministic)
             h = nn.relu(h)
         # zero padded slots before pooling (BN shifts them off zero)

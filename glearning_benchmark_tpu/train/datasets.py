@@ -407,11 +407,15 @@ def build_graph_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = Non
     splits = {}
     for s in SPLITS:
         gb = batch_graphs(graphs[s], n_max=n_max, node_feat_mode=node_feat_mode,
-                          query_encoding=query_encoding, label_dtype=label_dtype)
+                          query_encoding=query_encoding, label_dtype=label_dtype,
+                          edge_types=is_zinc)
         # adjacency stored uint8 (4x less HBM for the corpus-resident
         # arrays); cast to f32 per gathered batch inside jit
         splits[s] = {"node_feat": gb.node_feat, "adj": gb.adj.astype(np.uint8),
                      "mask": gb.node_mask, "y": gb.y}
+        if gb.eadj is not None:
+            # bond-type adjacency for edge-featured (GINE) message passing
+            splits[s]["eadj"] = gb.eadj
 
     if is_zinc:
         num_classes = 1

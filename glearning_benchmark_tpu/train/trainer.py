@@ -115,6 +115,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             num_classes=bundle.num_classes,
             task=task,
             compute_dtype=model_cfg.get("compute_dtype", "bfloat16"),
+            edge_features=bool(model_cfg.get("edge_features", False)),
         )
     if model_name == "ggps":
         gt = config.get("gt", {})
@@ -129,6 +130,7 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             num_classes=bundle.num_classes,
             task=task,
             compute_dtype=config.get("model", {}).get("compute_dtype", "bfloat16"),
+            edge_features=bool(config.get("model", {}).get("edge_features", False)),
         )
     raise ValueError(f"unknown model {model_name!r}")
 
@@ -186,7 +188,8 @@ def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rn
     else:
         adj = batch["adj"].astype(jnp.float32)  # stored uint8 corpus-side
         out = model.apply(variables, batch["node_feat"], adj, batch["mask"],
-                          deterministic=not train, mutable=mutable, **kwargs)
+                          deterministic=not train, etype=batch.get("eadj"),
+                          mutable=mutable, **kwargs)
     if mutable:
         logits, updates = out
         return logits, updates.get("batch_stats")
@@ -505,9 +508,10 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             r, i, m, q_token_id=bundle.q_token_id, deterministic=True))(
             init_rng, sample["ids"], sample["mask"])
     else:
-        variables = jax.jit(lambda r, f, a, m: model.init(
-            r, f, a.astype(jnp.float32), m, deterministic=True))(
-            init_rng, sample["node_feat"], sample["adj"], sample["mask"])
+        variables = jax.jit(lambda r, s: model.init(
+            r, s["node_feat"], s["adj"].astype(jnp.float32), s["mask"],
+            deterministic=True, etype=s.get("eadj")))(
+            init_rng, sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     opt_state = tx.init(params)
