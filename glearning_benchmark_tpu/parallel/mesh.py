@@ -39,3 +39,27 @@ def shard_batch_spec(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding
 
 def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def param_shard_spec(mesh: Mesh, path, leaf) -> NamedSharding:
+    """Tensor-parallel sharding rule for one parameter leaf.
+
+    Embedding tables and Dense kernels shard their feature (last) axis over
+    'model'; everything else (biases, LayerNorm scales, eps scalars) is
+    replicated. The rule matches the dryrun contract (__graft_entry__.py)
+    and only shards when the feature dim divides the 'model' axis so GSPMD
+    never sees a ragged split.
+    """
+    tp = mesh.shape["model"]
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    if (tp > 1 and leaf.ndim >= 2
+            and ("embedding" in names or "kernel" in names)
+            and leaf.shape[-1] % tp == 0):
+        return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params):
+    """device_put a parameter tree with the TP rule above."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.device_put(x, param_shard_spec(mesh, p, x)), params)

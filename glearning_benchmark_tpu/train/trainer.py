@@ -522,8 +522,13 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # device-resident split arrays (single transfer), optionally sharded.
     # val and test are padded to a common row count so they share ONE
     # compiled eval function (compiles are expensive on tunneled backends).
+    # mesh layout from config: parallel.model_axis splits every embedding/
+    # Dense feature dim over 'model' (TP); the rest of the devices form
+    # 'data' (DP). Default is pure DP.
+    parallel_cfg = config.get("parallel", {})
+    model_axis = int(parallel_cfg.get("model_axis", 1))
     if mesh is None and len(jax.devices()) > 1:
-        mesh = make_mesh()
+        mesh = make_mesh(model_axis=model_axis)
     host_splits = dict(bundle.splits)
     n_eval = max(bundle.n("val"), bundle.n("test"), 1)
     for s in ("val", "test"):
@@ -542,20 +547,26 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     if mesh is not None and batch_size % mesh.shape["data"] == 0 \
             and train_bs % mesh.shape["data"] == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import shard_params as _tp_shard
         _rep = NamedSharding(mesh, P())
         _sh2 = NamedSharding(mesh, P(None, "data"))
         _sh3 = NamedSharding(mesh, P(None, None, "data"))
         put_rep = lambda t: jax.device_put(t, _rep)  # noqa: E731
         put_idx2 = lambda a: jax.device_put(jnp.asarray(a), _sh2)  # noqa: E731
         put_idx3 = lambda a: jax.device_put(jnp.asarray(a), _sh3)  # noqa: E731
-        params = put_rep(params)
-        opt_state = put_rep(opt_state)
+        put_params = lambda p: _tp_shard(mesh, p)  # noqa: E731
+        params = put_params(params)
+        # re-derive the optimizer state from the sharded params so the AdamW
+        # moments inherit the TP layout (jit lets GSPMD propagate shardings)
+        opt_state = jax.jit(tx.init)(params)
         if batch_stats is not None:
             batch_stats = put_rep(batch_stats)
     else:
         put_rep = lambda t: t  # noqa: E731
         put_idx2 = jnp.asarray
         put_idx3 = jnp.asarray
+        put_params = lambda p: p  # noqa: E731
     dev_splits = {s: {k: put_rep(jnp.asarray(v)) for k, v in arrays.items()}
                   for s, arrays in host_splits.items()}
 
@@ -579,7 +590,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     if train_cfg.get("resume"):
         ckpt = load_checkpoint(os.path.join(out_dir, f"best_{run_name}"))
         if ckpt is not None and ckpt.get("params") is not None:
-            params = jax.tree.map(jnp.asarray, ckpt["params"])
+            params = put_params(jax.tree.map(jnp.asarray, ckpt["params"]))
             if ckpt.get("batch_stats") is not None:
                 batch_stats = jax.tree.map(jnp.asarray, ckpt["batch_stats"])
             if ckpt.get("opt_state"):
