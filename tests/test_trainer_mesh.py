@@ -72,3 +72,36 @@ def test_shard_params_rule():
     assert out["dense"]["kernel"].sharding.spec == P(None, "model")
     assert out["dense"]["bias"].sharding.spec == P()
     assert out["odd"]["kernel"].sharding.spec == P()
+
+
+def test_dp_vs_dptp_equivalence():
+    """TP is a layout, not a math change: the same seed/config trained on a
+    (8 data) mesh and a (4 data x 2 model) mesh must produce the same loss
+    trajectory up to float reassociation across the different collectives."""
+    import numpy as np
+
+    root = tempfile.mkdtemp()
+    def cfg(out, model_axis):
+        return {
+            "dataset": {"graph_token_root": root, "task": "cycle_check",
+                        "train_algorithms": ["ba"], "test_algorithm": "sfn",
+                        "use_split_tasks_dirs": True, "num_graphs": 24,
+                        "max_len": 600, "max_vocab": 600,
+                        "generate_num_graphs": 24},
+            "model": {"d_model": 16, "nhead": 4, "nlayers": 2, "d_ff": 64,
+                      "dropout": 0.0, "max_pos": 600,
+                      "compute_dtype": "float32"},
+            "parallel": {"model_axis": model_axis},
+            "train": {"batch_size": 8, "epochs": 2, "lr": 1e-3,
+                      "weight_decay": 1e-4, "seed": 0},
+            "output": {"out_dir": out, "run_name": f"eq{model_axis}"},
+            "wandb": {"use": False},
+        }
+
+    r_dp = train(cfg(tempfile.mkdtemp(), 1), "ibtt", verbose=False,
+                 mesh=make_mesh(model_axis=1))
+    r_tp = train(cfg(tempfile.mkdtemp(), 2), "ibtt", verbose=False,
+                 mesh=make_mesh(model_axis=2))
+    l_dp = [h["train/loss"] for h in r_dp.history]
+    l_tp = [h["train/loss"] for h in r_tp.history]
+    np.testing.assert_allclose(l_dp, l_tp, rtol=1e-3)
