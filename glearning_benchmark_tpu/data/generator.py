@@ -115,8 +115,13 @@ def _gen_ba(rng: np.random.Generator, n: int, m: int) -> np.ndarray:
     return _dedup_edges(edges)
 
 
-def _gen_sbm(rng: np.random.Generator, n: int, p: float) -> np.ndarray:
-    """2-3 blocks; intra-block dense, inter-block sparse; overall density ~ p."""
+def _gen_sbm(rng: np.random.Generator, n: int, p: float):
+    """2-3 blocks; intra-block dense, inter-block sparse; overall density ~ p.
+
+    Returns (edges, community_labels) — labels feed NodeClassification
+    (docs/synthetic_data.md:42: predict the SBM community of a node). The
+    RNG call order is frozen (labels drawn before edges) so corpora are
+    byte-stable across versions."""
     k = int(rng.integers(2, 4))
     labels = rng.integers(0, k, size=n)
     p_in = min(1.0, p * 3.0)
@@ -125,7 +130,8 @@ def _gen_sbm(rng: np.random.Generator, n: int, p: float) -> np.ndarray:
     same = labels[iu] == labels[iv]
     prob = np.where(same, p_in, p_out)
     mask = rng.random(iu.shape[0]) < prob
-    return np.stack([iu[mask], iv[mask]], axis=1).astype(np.int32)
+    edges = np.stack([iu[mask], iv[mask]], axis=1).astype(np.int32)
+    return edges, labels.astype(np.int32)
 
 
 def _gen_sfn(rng: np.random.Generator, n: int, m: int, pt: float) -> np.ndarray:
@@ -200,7 +206,7 @@ def generate_graph(algorithm: str, seed: int,
         m = int(rng.integers(1, 3))  # mix trees (m=1) and cyclic (m=2)
         edges = _gen_ba(rng, n, m)
     elif algorithm == "sbm":
-        edges = _gen_sbm(rng, n, p)
+        edges, communities = _gen_sbm(rng, n, p)
     elif algorithm == "sfn":
         edges = _gen_sfn(rng, n, m=2, pt=float(rng.uniform(0.3, 0.7)))
     elif algorithm == "complete":
@@ -217,7 +223,8 @@ def generate_graph(algorithm: str, seed: int,
     # generator's natural edge order — e.g. path graphs read '0 1 <e> 1 2
     # <e> ...' — and the sequence models demonstrably exploit it; shuffling
     # here would make the task distribution harder than the reference's)
-    return Graph(edges=edges, num_nodes=n, y=0)
+    node_labels = communities if algorithm == "sbm" else None
+    return Graph(edges=edges, num_nodes=n, y=0, node_labels=node_labels)
 
 
 # ---------------------------------------------------------------------------
@@ -386,6 +393,107 @@ def triangle_count_records(g: Graph, max_pairs: Optional[int] = None,
                                    f"t{tri}")}]
 
 
+def edge_count_records(g: Graph, max_pairs: Optional[int] = None,
+                       seed: int = 0) -> List[dict]:
+    """'<q> edge_count <p> mK' (graph-token EdgeCount,
+    docs/synthetic_data.md:34)."""
+    return [{"text": graph_to_text(g.edges, g.num_nodes, "edge_count",
+                                   f"m{len(g.edges)}")}]
+
+
+def _unit_max_flow(adj_sets: List[set], s: int, t: int) -> int:
+    """Max flow with unit capacities = number of edge-disjoint s-t paths
+    (Menger). BFS augmentation (Edmonds-Karp) on the residual edge sets;
+    graphs here are <=50 nodes, so this host-side oracle is trivial."""
+    # residual capacity 1 each direction per undirected edge
+    res = [set(nb) for nb in adj_sets]
+    flow = 0
+    while True:
+        prev = {s: s}
+        queue = [s]
+        while queue and t not in prev:
+            u = queue.pop(0)
+            for v in res[u]:
+                if v not in prev:
+                    prev[v] = u
+                    queue.append(v)
+        if t not in prev:
+            return flow
+        v = t
+        while v != s:
+            u = prev[v]
+            res[u].discard(v)
+            res[v].add(u)
+            v = u
+        flow += 1
+
+
+def maximum_flow_records(g: Graph, max_pairs: Optional[int] = 16,
+                         seed: int = 0) -> List[dict]:
+    """'<q> u v <p> fK' — unit-capacity max flow (graph-token MaximumFlow,
+    docs/synthetic_data.md:40)."""
+    adj_sets: List[set] = [set() for _ in range(g.num_nodes)]
+    for u, v in g.edges.tolist():
+        adj_sets[u].add(v)
+        adj_sets[v].add(u)
+    iu, iv = np.triu_indices(g.num_nodes, k=1)
+    if max_pairs is not None and iu.shape[0] > max_pairs:
+        rng = np.random.default_rng(seed)
+        sel = np.sort(rng.choice(iu.shape[0], size=max_pairs, replace=False))
+        iu, iv = iu[sel], iv[sel]
+    return [{"text": graph_to_text(
+        g.edges, g.num_nodes, f"{u} {v}",
+        f"f{_unit_max_flow(adj_sets, u, v)}")}
+        for u, v in zip(iu.tolist(), iv.tolist())]
+
+
+def node_classification_records(g: Graph, max_pairs: Optional[int] = 16,
+                                seed: int = 0) -> List[dict]:
+    """'<q> class u <p> cK' — SBM community of a node (graph-token
+    NodeClassification, docs/synthetic_data.md:42). Only SBM graphs carry
+    community labels; other algorithms emit nothing (the reference notes
+    not all tasks suit all generators, docs/synthetic_data.md:44)."""
+    if g.node_labels is None:
+        return []
+    nodes = np.arange(g.num_nodes)
+    if max_pairs is not None and nodes.shape[0] > max_pairs:
+        rng = np.random.default_rng(seed)
+        nodes = np.sort(rng.choice(nodes, size=max_pairs, replace=False))
+    return [{"text": graph_to_text(g.edges, g.num_nodes, f"class {int(u)}",
+                                   f"c{int(g.node_labels[u])}")}
+            for u in nodes.tolist()]
+
+
+def connected_nodes_records(g: Graph, max_pairs: Optional[int] = 8,
+                            seed: int = 0) -> List[dict]:
+    """'<q> neighbors u <p> v1 v2 ...' (graph-token ConnectedNodes,
+    docs/synthetic_data.md:35). Set-valued answer — corpus-generation
+    surface only; the single-label trainers skip it."""
+    adj_sets: List[set] = [set() for _ in range(g.num_nodes)]
+    for u, v in g.edges.tolist():
+        adj_sets[u].add(v)
+        adj_sets[v].add(u)
+    nodes = np.arange(g.num_nodes)
+    if max_pairs is not None and nodes.shape[0] > max_pairs:
+        rng = np.random.default_rng(seed)
+        nodes = np.sort(rng.choice(nodes, size=max_pairs, replace=False))
+    return [{"text": graph_to_text(
+        g.edges, g.num_nodes, f"neighbors {int(u)}",
+        " ".join(map(str, sorted(adj_sets[u]))) or "none")}
+        for u in nodes.tolist()]
+
+
+def disconnected_nodes_records(g: Graph, max_pairs: Optional[int] = None,
+                               seed: int = 0) -> List[dict]:
+    """'<q> isolated_nodes <p> v1 v2 ...' (graph-token DisconnectedNodes,
+    docs/synthetic_data.md:37). Set-valued answer — corpus-generation
+    surface only."""
+    deg = g.degrees()
+    isolated = [str(i) for i in range(g.num_nodes) if deg[i] == 0]
+    return [{"text": graph_to_text(g.edges, g.num_nodes, "isolated_nodes",
+                                   " ".join(isolated) or "none")}]
+
+
 _TASK_EMITTERS = {
     "cycle_check": cycle_check_records,
     "shortest_path": shortest_path_records,
@@ -394,6 +502,11 @@ _TASK_EMITTERS = {
     "node_degree": node_degree_records,
     "node_count": node_count_records,
     "triangle_count": triangle_count_records,
+    "edge_count": edge_count_records,
+    "maximum_flow": maximum_flow_records,
+    "node_classification": node_classification_records,
+    "connected_nodes": connected_nodes_records,
+    "disconnected_nodes": disconnected_nodes_records,
 }
 
 TASKS = tuple(_TASK_EMITTERS)

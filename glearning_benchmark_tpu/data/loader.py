@@ -41,11 +41,15 @@ def _parse_task_label_query(t: str, task: str):
     if task in PAIR_QUERY_BINARY_TASKS:
         return parse_yes_no_from_text(t), parse_pair_query_from_text(t)
     if task in COUNT_TASKS:
+        from .text_grammar import (PAIR_QUERY_COUNT_TASKS,
+                                   SINGLE_QUERY_COUNT_TASKS)
         lab = parse_count_label_from_text(t, COUNT_TASKS[task])
         q = None
-        if task == "node_degree":
+        if task in SINGLE_QUERY_COUNT_TASKS:
             u = parse_single_query_from_text(t)
             q = (u, u) if u is not None else None
+        elif task in PAIR_QUERY_COUNT_TASKS:
+            q = parse_pair_query_from_text(t)
         return lab, q
     return None, None
 

@@ -80,7 +80,12 @@ def parse_query_nodes_from_text(text: str) -> Optional[Tuple[int, int]]:
 
 
 PAIR_QUERY_BINARY_TASKS = ("reachability", "edge_existence")
-COUNT_TASKS = {"node_degree": "d", "node_count": "n", "triangle_count": "t"}
+COUNT_TASKS = {"node_degree": "d", "node_count": "n", "triangle_count": "t",
+               "edge_count": "m", "maximum_flow": "f",
+               "node_classification": "c"}
+# count-labeled tasks whose query is a node pair / a single node
+PAIR_QUERY_COUNT_TASKS = ("maximum_flow",)
+SINGLE_QUERY_COUNT_TASKS = ("node_degree", "node_classification")
 
 
 def parse_count_label_from_text(text: str, prefix: str) -> Optional[int]:
@@ -111,14 +116,19 @@ def parse_pair_query_from_text(text: str) -> Optional[Tuple[int, int]]:
 
 
 def parse_single_query_from_text(text: str) -> Optional[int]:
-    """'<q> u <p>' -> u (node_degree grammar)."""
+    """'<q> u <p>' or '<q> class u <p>' -> u: the first integer token in
+    the query section (node_degree / node_classification grammars)."""
     toks = text.split()
     for i, tok in enumerate(toks):
-        if tok == "<q>" and i + 1 < len(toks):
-            try:
-                return int(toks[i + 1])
-            except ValueError:
-                return None
+        if tok == "<q>":
+            for t in toks[i + 1:]:
+                if t == "<p>":
+                    return None
+                try:
+                    return int(t)
+                except ValueError:
+                    continue
+            return None
     return None
 
 
@@ -197,11 +207,16 @@ def text_record_to_graph(text: str, task: str, label=None) -> Optional[Graph]:
             label = parse_count_label_from_text(text, COUNT_TASKS[task])
         if label is None:
             return None
-        if task == "node_degree":
+        if task in SINGLE_QUERY_COUNT_TASKS:
             u = parse_single_query_from_text(text)
             if u is None:
                 return None
             qu = qv = u
+        elif task in PAIR_QUERY_COUNT_TASKS:
+            q = parse_pair_query_from_text(text)
+            if q is None:
+                return None
+            qu, qv = q
     else:
         if label is None:
             label = parse_cycle_label_from_text(text)
