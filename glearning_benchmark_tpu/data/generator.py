@@ -556,7 +556,11 @@ def generate_corpus(
     # the stamp encodes every generation knob that changes corpus content,
     # so a root generated with different knobs regenerates rather than mixes
     bucket_tag = "" if size_buckets is None else f" buckets={'+'.join(size_buckets)}"
-    stamp = f"ok v{GENERATOR_VERSION}{bucket_tag}\n"
+    pairs_tag = "" if max_pairs_per_graph is _UNSET \
+        else f" pairs={max_pairs_per_graph}"
+    stamp = (f"ok v{GENERATOR_VERSION}{bucket_tag}{pairs_tag}"
+             f" n={number_of_graphs}/{test_graphs} seed={seed}"
+             f" sparsity={min_sparsity}-{max_sparsity}\n")
     pair_kw = {} if max_pairs_per_graph is _UNSET else {"max_pairs": max_pairs_per_graph}
     for algo in algorithms:
         graphs_cache: dict = {}

@@ -169,7 +169,13 @@ class SimpleTransformer(nn.Module):
             found = jnp.any(is_q, axis=1)
             q_pos = jnp.argmax(is_q, axis=1)
             off_u, off_v = self.query_offsets
-            in_range = found & (q_pos + off_v < l)
+            # bound against the example's TRUE length, not the padded row
+            # width — a sequence truncated inside its query tail must zero
+            # u/v exactly like the packed path does (tokenization/pack.py
+            # checks q+off_v < m), or train (packed) and eval (unpacked)
+            # would disagree on those examples
+            row_len = attn_mask.sum(axis=1)
+            in_range = found & (q_pos + off_v < row_len)
             iu = jnp.clip(q_pos + off_u, 0, l - 1)
             iv = jnp.clip(q_pos + off_v, 0, l - 1)
             u_emb = jnp.take_along_axis(h, iu[:, None, None].repeat(self.d_model, -1), axis=1)[:, 0]

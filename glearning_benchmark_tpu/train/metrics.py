@@ -71,14 +71,29 @@ def regression_metrics_from_sums(abs_sum: float, sq_sum: float,
     }
 
 
+def class_names(task: str, n: int):
+    """Per-task class names for CM rendering/logging (console table, PNG
+    heatmap and W&B table all share this one source).
+
+    cycle_check and the binary pair-query families are yes/no;
+    shortest_path's class i is distance i+1 ('lenK', 1-based per the
+    reference label grammar); a count family's class i IS the literal
+    count, named with that task's grammar prefix (node_degree 'd0'..,
+    edge_count 'm0'.., node_classification 'c0'.., ...)."""
+    from ..data.text_grammar import COUNT_TASKS, PAIR_QUERY_BINARY_TASKS
+    if task == "cycle_check" or task in PAIR_QUERY_BINARY_TASKS:
+        return ["No", "Yes"][:n]
+    if task in COUNT_TASKS:
+        p = COUNT_TASKS[task]
+        return [f"{p}{i}" for i in range(n)]
+    if task == "shortest_path":
+        return [f"len{i + 1}" for i in range(n)]
+    return [f"c{i}" for i in range(n)]
+
+
 def format_confusion_matrix(cm: np.ndarray, task: str = "cycle_check") -> str:
     """Text confusion-matrix table (reference: metrics.py:155-182)."""
-    if task == "cycle_check":
-        labels = ["No", "Yes"]
-    elif task == "shortest_path":
-        labels = [f"len{i+1}" for i in range(cm.shape[0])]
-    else:
-        labels = [f"c{i}" for i in range(cm.shape[0])]
+    labels = class_names(task, cm.shape[0])
     header = "Confusion Matrix:\nPredicted →\nActual ↓  " + \
         "  ".join(f"{l:>6}" for l in labels) + "\n"
     rows = []

@@ -44,7 +44,13 @@ from ..models.transformer import SimpleTransformer
 from ..parallel.mesh import make_mesh
 from ..tokenization.vocab import SPECIAL
 from .checkpoint import load_checkpoint, save_checkpoint
-from .datasets import DatasetBundle, build_agtt_dataset, build_graph_dataset, build_ibtt_dataset
+from .datasets import (
+    QUERY_OFFSETS,
+    DatasetBundle,
+    build_agtt_dataset,
+    build_graph_dataset,
+    build_ibtt_dataset,
+)
 from .metrics import classification_metrics_from_cm, format_confusion_matrix, regression_metrics_from_sums
 
 
@@ -71,12 +77,9 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
     if model_name in ("ibtt", "agtt"):
         if model_name == "ibtt":
             bos_id = SPECIAL.index("<bos>")
-            if task == "shortest_path":
-                offsets = (2, 3)  # '<q> shortest_distance u v'
-            elif task == "node_degree":
-                offsets = (1, 1)  # '<q> u'
-            else:
-                offsets = (1, 2)  # '<q> u v'
+            # per-task '<q>' operand positions — one shared table
+            # (datasets.QUERY_OFFSETS) also drives the packed-row readout
+            offsets = QUERY_OFFSETS.get(task, (1, 2))
         else:
             bos_id = bundle.meta.get("bos_id", 0)
             offsets = (1, 2)  # trail-appended '<q> u v'
@@ -97,11 +100,12 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             # remat encoder layers at long sequence lengths: the [B,H,L,L]
             # attention probabilities dominate HBM in the backward pass
             remat=bool(model_cfg.get("remat", seq_len >= 1024)),
-            # Pallas flash attention (custom VJP) is available but measured
-            # SLOWER than XLA at this benchmark's head dims (D=4-16 pads to
-            # the 128 lane width, 8x wasted K/V traffic; A/B: 1.43s vs 1.04s
-            # per epoch on ibtt-sp shapes). Opt in via model.use_flash for
-            # long-sequence regimes; head-packed lanes are the planned fix.
+            # Pallas flash attention (custom VJP, head-packed lane layout —
+            # H heads x small D packed into the 128-lane minor dim, no
+            # D->128 HBM padding): measured 1.05-1.4x faster than XLA
+            # fwd+bwd at all benchmark shapes (FLASH_AB.json). Defaulted on
+            # in the L=1024 ZINC configs; the synthetic configs keep XLA
+            # attention (≈5% of epoch) for attention-prob dropout parity.
             use_flash=bool(model_cfg.get("use_flash", False)),
             compute_dtype=model_cfg.get("compute_dtype", "bfloat16"),
         )
@@ -458,6 +462,18 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         train_bs = max(1, round(batch_size * n_train / max(n_train_examples, 1)))
     else:
         train_bs = batch_size
+    # mesh layout from config: parallel.model_axis splits every embedding/
+    # Dense feature dim over 'model' (TP); the rest of the devices form
+    # 'data' (DP). Built here (not at sharding time) so the packed row
+    # batch can be rounded to the 'data' axis — a derived train_bs that
+    # misses divisibility must not silently disable sharding.
+    parallel_cfg = config.get("parallel", {})
+    model_axis = int(parallel_cfg.get("model_axis", 1))
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh(model_axis=model_axis)
+    if mesh is not None and packed_train:
+        da = int(mesh.shape["data"])
+        train_bs = max(da, (train_bs // da) * da)
     if verbose:
         print(f"#train: {n_train} | #val: {bundle.n('val')} | #test: {bundle.n('test')}")
         if packed_train:
@@ -522,13 +538,6 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # device-resident split arrays (single transfer), optionally sharded.
     # val and test are padded to a common row count so they share ONE
     # compiled eval function (compiles are expensive on tunneled backends).
-    # mesh layout from config: parallel.model_axis splits every embedding/
-    # Dense feature dim over 'model' (TP); the rest of the devices form
-    # 'data' (DP). Default is pure DP.
-    parallel_cfg = config.get("parallel", {})
-    model_axis = int(parallel_cfg.get("model_axis", 1))
-    if mesh is None and len(jax.devices()) > 1:
-        mesh = make_mesh(model_axis=model_axis)
     host_splits = dict(bundle.splits)
     n_eval = max(bundle.n("val"), bundle.n("test"), 1)
     for s in ("val", "test"):
@@ -746,7 +755,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         te = _epoch_metrics(te_stats, task, num_classes)
     if task != "zinc" and "confusion_matrix" in te:
         try:
-            from .viz import create_confusion_matrix_heatmap
+            from .viz import class_names, create_confusion_matrix_heatmap
             cm = te["confusion_matrix"]
             img = create_confusion_matrix_heatmap(cm, task,
                                                   title="Test Confusion Matrix")
@@ -754,8 +763,7 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             # W&B CM image + table parity (train_ibtt.py:641-663)
             logger.log_image("test/confusion_matrix_heatmap", img,
                              caption="Confusion Matrix")
-            labels = (["No", "Yes"] if task == "cycle_check"
-                      else [f"len{i + 1}" for i in range(cm.shape[0])])
+            labels = class_names(task, cm.shape[0])
             logger.log_table("test/confusion_matrix",
                              ["True/Pred"] + labels,
                              [[lab] + cm[i].tolist()

@@ -84,6 +84,9 @@ def create_graph_visualizations(graphs: Sequence[Graph], task: str,
             for i, g in enumerate(graphs[:num_examples])]
 
 
+from .metrics import class_names  # noqa: E402  (shared CM label names)
+
+
 def create_confusion_matrix_heatmap(cm: np.ndarray, task: str = "cycle_check",
                                     title: str = "Confusion Matrix"):
     """Heatmap PIL Image of a confusion matrix (reference metrics.py:353-410)."""
@@ -95,7 +98,7 @@ def create_confusion_matrix_heatmap(cm: np.ndarray, task: str = "cycle_check",
     if task == "cycle_check":
         labels = ["No Cycle", "Has Cycle"]
     else:
-        labels = [f"len{i + 1}" for i in range(cm.shape[0])]
+        labels = class_names(task, cm.shape[0])
     labels = labels[: cm.shape[0]]
 
     fig, ax = plt.subplots(figsize=(10, 8))

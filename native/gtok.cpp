@@ -378,33 +378,47 @@ inline bool is_ws(unsigned char c) {
 // Python-int semantics on ASCII tokens: [+-]? digit ('_'? digit)*
 // (underscores allowed singly between digits). Returns false on anything
 // int() would reject.
-bool parse_py_int(const char* s, int64_t n, long long* out) {
+// Tri-state Python-int parse. Syntax follows int(): optional sign, digits,
+// '_' separators between digits. PYINT_OVERFLOW means the token IS a valid
+// Python int but does not fit the scanner's int32 record fields — the
+// strict scan must then ABORT (Python would accept the value; truncating
+// through int32 would break the native==Python byte-parity contract), so
+// the loader falls back to the Python path for the whole file.
+enum PyIntParse { PYINT_BAD = 0, PYINT_OK = 1, PYINT_OVERFLOW = 2 };
+
+int parse_py_int(const char* s, int64_t n, long long* out) {
   int64_t i = 0;
   bool neg = false;
   if (i < n && (s[i] == '+' || s[i] == '-')) {
     neg = s[i] == '-';
     ++i;
   }
-  if (i >= n) return false;
+  if (i >= n) return PYINT_BAD;
   long long v = 0;
   bool prev_digit = false;
   bool any_digit = false;
+  bool huge = false;
   for (; i < n; ++i) {
     char c = s[i];
     if (c >= '0' && c <= '9') {
-      v = v * 10 + (c - '0');
-      if (v > (1LL << 60)) return false;  // labels/ids are small; overflow = reject
+      if (!huge) {
+        v = v * 10 + (c - '0');
+        if (v > (1LL << 40)) huge = true;  // stop accumulating, keep checking syntax
+      }
       prev_digit = any_digit = true;
     } else if (c == '_') {
-      if (!prev_digit) return false;  // '_' must follow a digit…
+      if (!prev_digit) return PYINT_BAD;  // '_' must follow a digit…
       prev_digit = false;
     } else {
-      return false;
+      return PYINT_BAD;
     }
   }
-  if (!prev_digit || !any_digit) return false;  // …and precede one
+  if (!prev_digit || !any_digit) return PYINT_BAD;  // …and precede one
   *out = neg ? -v : v;
-  return true;
+  // one-off margins: parse_distance stores v-1
+  if (huge || v > 2147483646LL || (neg && -v < -2147483647LL))
+    return PYINT_OVERFLOW;
+  return PYINT_OK;
 }
 
 inline bool tok_eq(const char* s, int64_t n, const char* lit) {
@@ -457,9 +471,9 @@ int32_t parse_distance(const std::vector<std::pair<const char*, int64_t>>& t) {
     }
     if (n >= 3 && tok_eq_upper(s, 3, "LEN")) {
       long long v;
-      if (parse_py_int(s + 3, n - 3, &v)) {
-        return static_cast<int32_t>(v - 1);
-      }
+      int r = parse_py_int(s + 3, n - 3, &v);
+      if (r == PYINT_OK) return static_cast<int32_t>(v - 1);
+      if (r == PYINT_OVERFLOW) return INT32_MIN;  // abort the strict scan
       // ValueError -> keep scanning for another '<p>' (reference behavior)
     }
   }
@@ -467,21 +481,25 @@ int32_t parse_distance(const std::vector<std::pair<const char*, int64_t>>& t) {
 }
 
 // text_grammar.parse_query_nodes_from_text
-bool parse_query(const std::vector<std::pair<const char*, int64_t>>& t,
-                 int32_t* qu, int32_t* qv) {
+// Returns 0 = no query, 1 = parsed, 2 = int too large for int32 (abort the
+// strict scan — Python would accept the value).
+int parse_query(const std::vector<std::pair<const char*, int64_t>>& t,
+                int32_t* qu, int32_t* qv) {
   for (size_t i = 0; i + 3 < t.size(); ++i) {
     if (!tok_eq(t[i].first, t[i].second, "<q>")) continue;
     if (!tok_eq(t[i + 1].first, t[i + 1].second, "shortest_distance")) continue;
     long long u, v;
-    if (parse_py_int(t[i + 2].first, t[i + 2].second, &u) &&
-        parse_py_int(t[i + 3].first, t[i + 3].second, &v)) {
+    int ru = parse_py_int(t[i + 2].first, t[i + 2].second, &u);
+    int rv = parse_py_int(t[i + 3].first, t[i + 3].second, &v);
+    if (ru == PYINT_OVERFLOW || rv == PYINT_OVERFLOW) return 2;
+    if (ru == PYINT_OK && rv == PYINT_OK) {
       *qu = static_cast<int32_t>(u);
       *qv = static_cast<int32_t>(v);
-      return true;
+      return 1;
     }
     // ValueError -> keep scanning (reference behavior)
   }
-  return false;
+  return 0;
 }
 
 }  // namespace
@@ -557,7 +575,10 @@ void* gtok_corpus_scan(const char* buf, int64_t n_bytes, int32_t task_kind,
     split_tokens(buf + start, tlen, &toks);
     if (task_kind == 1) {
       rec.label = parse_distance(toks);
-      rec.has_q = parse_query(toks, &rec.qu, &rec.qv) ? 1 : 0;
+      if (rec.label == INT32_MIN) return nullptr;  // int32 overflow -> Python path
+      int q = parse_query(toks, &rec.qu, &rec.qv);
+      if (q == 2) return nullptr;  // int32 overflow -> Python path
+      rec.has_q = q;
     } else {
       rec.label = parse_yes_no(toks);
     }

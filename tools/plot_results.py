@@ -313,8 +313,8 @@ def zinc_distribution_plots(out_dir, zinc_root="./data/ZINC", limit=2000):
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from glearning_benchmark_tpu.data.zinc import (
-        _ATOM_SYMBOLS,
         load_zinc_split,
+        zinc_atom_symbol,
     )
 
     os.makedirs(out_dir, exist_ok=True)
@@ -329,7 +329,7 @@ def zinc_distribution_plots(out_dir, zinc_root="./data/ZINC", limit=2000):
     axes[0, 0].set_title("Molecule Size (atoms)", fontweight="bold")
     atom_counts = Counter(int(a) for m in mols for a in m.node_labels)
     xs = sorted(atom_counts)
-    axes[0, 1].bar([_ATOM_SYMBOLS[x] for x in xs], [atom_counts[x] for x in xs],
+    axes[0, 1].bar([zinc_atom_symbol(x) for x in xs], [atom_counts[x] for x in xs],
                    color="#029E73", alpha=0.85)
     axes[0, 1].set_title("Atom Type Frequency", fontweight="bold")
     axes[0, 1].set_yscale("log")
