@@ -56,12 +56,21 @@ class EncoderLayer(nn.Module):
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
         # attention-prob dropout (torch MultiheadAttention default,
-        # train_ibtt.py:45-50); the flash path intentionally skips it —
-        # probs are never materialized there
+        # train_ibtt.py:45-50). Both paths apply it; the flash kernel
+        # regenerates its keep mask in-kernel from a counter hash (its
+        # Bernoulli stream differs from the XLA path's jax.random — dropout
+        # semantics, not stream identity, are the contract)
         attn_drop = self.p_drop if (not deterministic and self.p_drop > 0) else 0.0
-        if self.use_flash and seg is None:
+        if self.use_flash:
+            import jax
+
             from ..ops.pallas_attention import flash_attention
-            attn = flash_attention(q, k, v, key_mask)
+            seed = (jax.random.randint(self.make_rng("dropout"), (1, 1), 0,
+                                       jnp.iinfo(jnp.int32).max, jnp.int32)
+                    if attn_drop else None)
+            segi = seg if seg is not None else key_mask
+            attn = flash_attention(q, k, v, seg=segi.astype(jnp.int32),
+                                   p_drop=attn_drop, seed=seed)
         else:
             attn = multi_head_attention(
                 q, k, v, key_mask=key_mask, seg=seg,

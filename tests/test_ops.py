@@ -84,3 +84,111 @@ def test_flash_attention_gradients_match_xla():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_packed_segments():
+    """Packed rows: block-diagonal segment mask matches the XLA seg path,
+    forward and gradients (interpret mode)."""
+    import jax
+
+    b, l, h, d = 2, 256, 4, 16
+    rng = np.random.default_rng(4)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, l, h, d)), dtype=jnp.float32)
+               for _ in range(3))
+    # rows pack 3 / 2 segments with trailing padding (seg 0)
+    seg = np.zeros((b, l), np.int32)
+    seg[0, :80] = 1
+    seg[0, 80:150] = 2
+    seg[0, 150:230] = 3
+    seg[1, :128] = 1
+    seg[1, 128:200] = 2
+    segj = jnp.asarray(seg)
+    w = jnp.asarray(rng.normal(size=(b, l, h, d)), dtype=jnp.float32)
+    w = w * (segj > 0)[:, :, None, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, seg=segj, interpret=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(multi_head_attention(q, k, v, seg=segj) * w)
+
+    ref = np.asarray(multi_head_attention(q, k, v, seg=segj))
+    out = np.asarray(flash_attention(q, k, v, seg=segj, interpret=True))
+    valid = seg > 0
+    np.testing.assert_allclose(out[valid], ref[valid], atol=1e-5)
+    # pad-segment queries emit exact zeros in both paths
+    np.testing.assert_array_equal(out[~valid], 0.0)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_dropout_matches_reference_mask():
+    """In-kernel dropout: fwd and grads equal XLA attention given the SAME
+    keep mask (replicated bit-exactly by dropout_keep_reference)."""
+    import jax
+    from jax import nn as jnn
+
+    from glearning_benchmark_tpu.ops.pallas_attention import (
+        dropout_keep_reference,
+    )
+
+    b, l, h, d = 1, 130, 2, 8
+    p_drop, seed = 0.3, 1234
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, l, h, d)), dtype=jnp.float32)
+               for _ in range(3))
+    mask = np.ones((b, l), bool)
+    mask[0, 100:] = False
+    maskj = jnp.asarray(mask)
+    w = jnp.asarray(rng.normal(size=(b, l, h, d)), dtype=jnp.float32)
+    w = w * maskj[:, :, None, None]
+
+    # the kernel hashes absolute (b*h + h_idx, row, col) indices
+    keep = dropout_keep_reference(seed, b * h, l, l, p_drop)
+    keep = keep.reshape(b, h, l, l)
+
+    def ref_attn(q, k, v):
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+        logits = jnp.einsum("blhd,bshd->bhls", q, k) * scale
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(maskj[:, None, None, :], logits, neg)
+        probs = jnn.softmax(logits, axis=-1)
+        probs = jnp.where(maskj[:, None, None, :], probs, 0.0)
+        probs = jnp.where(keep, probs / (1.0 - p_drop), 0.0)
+        return jnp.einsum("bhls,bshd->blhd", probs, v)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, maskj, interpret=True,
+                                       p_drop=p_drop, seed=seed) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attn(q, k, v) * w)
+
+    out = np.asarray(flash_attention(q, k, v, maskj, interpret=True,
+                                     p_drop=p_drop, seed=seed))
+    ref = np.asarray(ref_attn(q, k, v))
+    np.testing.assert_allclose(out[mask], ref[mask], atol=1e-5)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_flash_dropout_statistics_and_seed_sensitivity():
+    from glearning_benchmark_tpu.ops.pallas_attention import (
+        dropout_keep_reference,
+    )
+
+    keep = np.asarray(dropout_keep_reference(7, 16, 128, 128, 0.25))
+    frac = keep.mean()
+    assert abs(frac - 0.75) < 0.01, frac
+    keep2 = np.asarray(dropout_keep_reference(8, 16, 128, 128, 0.25))
+    assert (keep != keep2).mean() > 0.1  # different seed, different mask
+    # p_drop=0 keeps everything
+    assert np.asarray(dropout_keep_reference(7, 4, 64, 64, 0.0)).all()

@@ -125,3 +125,31 @@ def test_packed_training_learns(corpus_root, tmp_path):  # noqa: F811
     res_p = train(cfg_p, "ibtt", verbose=False)
     assert res_p.best_val >= 0.7
     assert res_p.history[-1]["train/loss"] < res_p.history[0]["train/loss"]
+
+
+def test_packed_flash_forward_matches_xla_path():
+    """use_flash on packed rows (block-diagonal segment mask inside the
+    Pallas kernel, interpret mode) matches the XLA packed forward."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(2)
+    q_id = 4
+    kw = dict(vocab_size=50, d_model=16, nhead=4, nlayers=2, d_ff=32,
+              max_pos=128, num_classes=7, use_query_nodes=True,
+              query_offsets=(2, 3), compute_dtype="float32")
+    model_xla = SimpleTransformer(**kw)
+    model_fl = SimpleTransformer(use_flash=True, **kw)
+    seqs = _random_seqs(rng, 9, q_id=q_id, lo=8, hi=30)
+    pk = pack_examples(seqs, bucket=64, pad_id=0, q_token_id=q_id,
+                       query_offsets=(2, 3))
+    args = dict(q_token_id=q_id, deterministic=True, seg=pk["seg"],
+                pos=pk["pos"], pos_bos=pk["pos_bos"], pos_u=pk["pos_u"],
+                pos_v=pk["pos_v"])
+    params = model_xla.init(jax.random.PRNGKey(0), pk["ids"], pk["seg"] > 0,
+                            **args)["params"]
+    out_x = np.asarray(model_xla.apply({"params": params}, pk["ids"],
+                                       pk["seg"] > 0, **args))
+    with pltpu.force_tpu_interpret_mode():
+        out_f = np.asarray(model_fl.apply({"params": params}, pk["ids"],
+                                          pk["seg"] > 0, **args))
+    np.testing.assert_allclose(out_f, out_x, atol=2e-5, rtol=1e-4)
