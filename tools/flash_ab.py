@@ -87,6 +87,53 @@ def main() -> None:
         row["flash_fwdbwd_ms"] = round(bench(fla_g, (q, k, v, mask)) * 1e3, 3)
         row["fwd_speedup"] = round(row["xla_fwd_ms"] / row["flash_fwd_ms"], 2)
         row["fwdbwd_speedup"] = round(row["xla_fwdbwd_ms"] / row["flash_fwdbwd_ms"], 2)
+
+        # training variant: attention-prob dropout on both sides (the torch
+        # default the synthetic configs must reproduce — trainer uses
+        # p_drop=0.1). XLA draws bernoulli; flash hashes in-kernel.
+        p = 0.1
+        rng0 = jax.random.PRNGKey(2)
+        seed = jnp.zeros((1, 1), jnp.int32) + 7
+
+        def loss_xla_d(q, k, v, m):
+            return multi_head_attention(
+                q, k, v, m, dropout_rate=p, dropout_rng=rng0
+            ).astype(jnp.float32).sum()
+
+        def loss_fla_d(q, k, v, m):
+            return flash_attention(
+                q, k, v, m, p_drop=p, seed=seed
+            ).astype(jnp.float32).sum()
+
+        xla_gd = jax.jit(jax.grad(loss_xla_d, argnums=(0, 1, 2)))
+        fla_gd = jax.jit(jax.grad(loss_fla_d, argnums=(0, 1, 2)))
+        row["xla_drop_fwdbwd_ms"] = round(bench(xla_gd, (q, k, v, mask)) * 1e3, 3)
+        row["flash_drop_fwdbwd_ms"] = round(bench(fla_gd, (q, k, v, mask)) * 1e3, 3)
+        row["drop_fwdbwd_speedup"] = round(
+            row["xla_drop_fwdbwd_ms"] / row["flash_drop_fwdbwd_ms"], 2)
+
+        # packed variant: ~4 segments per row (block-diagonal mask), the
+        # shape the dataset.pack=true training step actually runs
+        nseg = 4
+        seg = jnp.minimum(jnp.arange(l)[None, :] // (l // nseg), nseg - 1) + 1
+        seg = jnp.where(mask, jnp.broadcast_to(seg, (b, l)), 0).astype(jnp.int32)
+
+        def loss_xla_p(q, k, v, s):
+            return multi_head_attention(
+                q, k, v, seg=s, dropout_rate=p, dropout_rng=rng0
+            ).astype(jnp.float32).sum()
+
+        def loss_fla_p(q, k, v, s):
+            return flash_attention(
+                q, k, v, seg=s, p_drop=p, seed=seed
+            ).astype(jnp.float32).sum()
+
+        xla_gp = jax.jit(jax.grad(loss_xla_p, argnums=(0, 1, 2)))
+        fla_gp = jax.jit(jax.grad(loss_fla_p, argnums=(0, 1, 2)))
+        row["xla_packed_fwdbwd_ms"] = round(bench(xla_gp, (q, k, v, seg)) * 1e3, 3)
+        row["flash_packed_fwdbwd_ms"] = round(bench(fla_gp, (q, k, v, seg)) * 1e3, 3)
+        row["packed_fwdbwd_speedup"] = round(
+            row["xla_packed_fwdbwd_ms"] / row["flash_packed_fwdbwd_ms"], 2)
         print(json.dumps(row), flush=True)
         results.append(row)
 
