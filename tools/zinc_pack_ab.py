@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""ZINC packing A/B: the ZINC train rows are only ~36-56% full (stand-in
+measurement, train/datasets.py buckets), so packing them — now compatible
+with flash attention via the segment-masked kernel — should cut the two
+slowest epochs of the campaign. Runs {pack on} for both ZINC token configs
+(flash stays at its config default, true) and compares with the unpacked
+RESULTS.json rows from the same code. Writes ZINC_PACK_AB.json.
+
+    python tools/zinc_pack_ab.py     # on the TPU (serial — single client)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.run_benchmarks import run_with_watchdog  # noqa: E402
+
+RUNS = [
+    ("ibtt-zinc-pack", "ibtt", "configs/ibtt_zinc.yaml",
+     {"dataset.pack": True, "output.run_name": "ibtt-zinc-pack"}),
+    ("agtt-zinc-pack", "agtt", "configs/agtt_zinc.yaml",
+     {"dataset.pack": True, "output.run_name": "agtt-zinc-pack"}),
+]
+
+BASELINE_ROWS = {"ibtt-zinc-pack": "ibtt-zinc", "agtt-zinc-pack": "agtt-zinc"}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="ZINC_PACK_AB.json")
+    ap.add_argument("--stall-secs", type=int, default=1200)
+    args = ap.parse_args()
+
+    results = {}
+    if os.path.isfile(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    baselines = {}
+    if os.path.isfile("RESULTS.json"):
+        with open("RESULTS.json") as f:
+            baselines = json.load(f)
+
+    os.makedirs("/tmp/gbt_runs", exist_ok=True)
+    for name, model, config_path, overrides in RUNS:
+        if name in results and "error" not in results[name]:
+            print(f"[{name}] cached", flush=True)
+            continue
+        print(f"\n{'=' * 80}\nZINC PACK A/B {name}\n{'=' * 80}", flush=True)
+        res = run_with_watchdog(name, model, config_path, overrides,
+                                f"/tmp/gbt_runs/{name}.json", args.stall_secs)
+        base = baselines.get(BASELINE_ROWS[name], {})
+        if "error" not in res and base:
+            res["unpacked_best_val"] = base.get("best_val")
+            res["unpacked_steady_epoch_s"] = base.get("steady_epoch_s")
+            if base.get("steady_epoch_s"):
+                res["epoch_time_ratio"] = round(
+                    res["steady_epoch_s"] / base["steady_epoch_s"], 3)
+        results[name] = res
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"[{name}] -> {json.dumps(res)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
