@@ -70,6 +70,8 @@ def get_lib():
     lib.gtok_zinc_vocab_stream.argtypes = [
         i32p, i32p, i64p, f64p, ctypes.c_int32, ctypes.c_int32,
         i64p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
+    lib.gtok_edges_lexsorted.restype = ctypes.c_int32
+    lib.gtok_edges_lexsorted.argtypes = [i64p, i64p, i64p, ctypes.c_int32]
     lib.gtok_corpus_scan.restype = ctypes.c_void_p
     lib.gtok_corpus_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, i64p]
@@ -142,6 +144,21 @@ def encode_texts_native(
         raise RuntimeError(f"gtok_encode_texts failed: {rc}")
     l = int(lens.max()) if len(texts) else 0
     return ids[:, :l].copy(), lens
+
+
+def edges_lexsorted_native(flat) -> bool:
+    """Native fast-path gate (gtok_edges_lexsorted): exact semantics of
+    ibtt_fast._edges_lexsorted_per_mol's numpy checks in one O(E log deg)
+    pass with no temporaries."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.ascontiguousarray(flat["src"], dtype=np.int64)
+    dst = np.ascontiguousarray(flat["dst"], dtype=np.int64)
+    edge_off = np.ascontiguousarray(flat["edge_off"], dtype=np.int64)
+    n_mols = len(flat["n_nodes"])
+    return bool(lib.gtok_edges_lexsorted(_i64p(src), _i64p(dst),
+                                         _i64p(edge_off), n_mols))
 
 
 def zinc_vocab_stream_native(flat):

@@ -79,6 +79,13 @@ def _edges_lexsorted_per_mol(flat: Dict[str, np.ndarray]) -> bool:
         flat["_lexsorted"] = r
         return r
 
+    try:
+        from ..native import available as _native_ok, edges_lexsorted_native
+        if _native_ok():
+            return done(edges_lexsorted_native(flat))
+    except Exception:
+        pass
+
     src, dst, eo = flat["src"], flat["dst"], flat["edge_off"]
     if src.size == 0:
         return done(True)
@@ -95,7 +102,17 @@ def _edges_lexsorted_per_mol(flat: Dict[str, np.ndarray]) -> bool:
         mol_of_edge = np.repeat(np.arange(len(eo) - 1), np.diff(eo))
         canon = np.minimum(src, dst) * big + np.maximum(src, dst)
         mol_key = mol_of_edge.astype(np.int64) * (big * big) + canon
-        if not bool(np.isin(mol_key[rev], mol_key[~rev]).all()):
+        # the forward subsequence is ALREADY globally sorted (edges are
+        # grouped by molecule and strictly lexsorted within one, so the
+        # src<dst subsequence has strictly increasing (mol, canon) keys):
+        # binary-search it instead of np.isin's full concat-sort
+        fwd = mol_key[~rev]
+        if fwd.size == 0:
+            return done(False)  # reversed edges with no forward mirrors at all
+        needles = mol_key[rev]
+        pos = np.searchsorted(fwd, needles)
+        hit = (pos < fwd.size) & (fwd[np.minimum(pos, fwd.size - 1)] == needles)
+        if not bool(hit.all()):
             return done(False)
     return done(True)
 

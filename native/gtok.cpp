@@ -344,6 +344,47 @@ int32_t gtok_zinc_vocab_stream(
   return n_out;
 }
 
+// Fast-path gate for the vectorized ZINC encoders
+// (ibtt_fast._edges_lexsorted_per_mol semantics, exactly): per molecule the
+// directed edge list must be STRICTLY lexsorted by (src, dst), contain no
+// self-loops, and every reversed (src > dst) edge must have its directed
+// mirror (dst, src) in the same molecule. One O(E log deg) pass, no
+// allocation; tuple comparisons (no src*big+dst key) so arbitrary int64
+// ids cannot overflow. Returns 1 if every molecule passes, else 0.
+int32_t gtok_edges_lexsorted(const int64_t* src, const int64_t* dst,
+                             const int64_t* edge_off, int32_t n_mols) {
+  for (int32_t m = 0; m < n_mols; ++m) {
+    const int64_t s = edge_off[m], e = edge_off[m + 1];
+    for (int64_t i = s; i < e; ++i) {
+      if (src[i] == dst[i]) return 0;  // self-loop
+      if (i > s && (src[i] < src[i - 1] ||
+                    (src[i] == src[i - 1] && dst[i] <= dst[i - 1]))) {
+        return 0;  // not strictly increasing (duplicates included)
+      }
+    }
+    for (int64_t i = s; i < e; ++i) {
+      if (src[i] < dst[i]) continue;  // forward edge
+      // reversed: binary-search the molecule's (sorted) slice for (dst, src)
+      const int64_t u = dst[i], v = src[i];
+      int64_t lo = s, hi = e;
+      bool found = false;
+      while (lo < hi) {
+        const int64_t mid = lo + (hi - lo) / 2;
+        if (src[mid] < u || (src[mid] == u && dst[mid] < v)) {
+          lo = mid + 1;
+        } else if (src[mid] == u && dst[mid] == v) {
+          found = true;
+          break;
+        } else {
+          hi = mid;
+        }
+      }
+      if (!found) return 0;
+    }
+  }
+  return 1;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -149,3 +149,49 @@ def test_corpus_scan_accepts_strict_and_strips(tmp_path):
     assert ex[0]["text"].startswith("<bos>") and ex[0]["text"].endswith("<eos>")
     assert ex[0]["label"] == 0 and ex[0]["query_u"] == 0 and ex[0]["query_v"] == 1
     assert ex[1]["label"] is None
+
+
+def test_edges_lexsorted_gate_native_matches_numpy():
+    """The native fast-path gate (gtok_edges_lexsorted) must agree with the
+    pure-numpy gate on every accept/reject class: mirrored-lexsorted (pass),
+    self-loop, unmirrored reverse, duplicate directed edge, unsorted, and
+    per-molecule mirror misses."""
+    import numpy as np
+
+    import glearning_benchmark_tpu.native as nat
+    import glearning_benchmark_tpu.tokenization.ibtt_fast as ib
+
+    if not nat.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    def numpy_gate(f):
+        f = dict(f)
+        f.pop("_lexsorted", None)
+        real = nat.available
+        nat.available = lambda: False
+        try:
+            return ib._edges_lexsorted_per_mol(f)
+        finally:
+            nat.available = real
+
+    def case(n_nodes, src, dst, off):
+        return dict(n_nodes=np.asarray(n_nodes),
+                    src=np.asarray(src, np.int64),
+                    dst=np.asarray(dst, np.int64),
+                    edge_off=np.asarray(off, np.int64))
+
+    cases = [
+        case([3], [0, 1, 1, 2], [1, 0, 2, 1], [0, 4]),          # pass
+        case([2], [0, 1], [0, 1], [0, 2]),                      # self-loop
+        case([3], [2], [0], [0, 1]),                            # no fwd mirror
+        case([3], [0, 0, 1, 1], [1, 1, 0, 0], [0, 4]),          # dup directed
+        case([3], [1, 0], [0, 1], [0, 2]),                      # unsorted
+        case([2, 3], [0, 1, 0, 2], [1, 0, 1, 1], [0, 2, 4]),    # mol2 miss
+        case([4], [0, 1, 2, 3], [1, 2, 3, 0], [0, 4]),          # ring, no mirror
+        case([2], [], [], [0, 0]),                              # empty
+    ]
+    for i, c in enumerate(cases):
+        a = nat.edges_lexsorted_native(c)
+        b = numpy_gate(c)
+        assert a == b, f"case {i}: native={a} numpy={b}"
