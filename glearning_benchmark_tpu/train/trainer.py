@@ -76,7 +76,14 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
     use_query = task in QUERY_TASKS
     if model_name in ("ibtt", "agtt"):
         if model_name == "ibtt":
-            bos_id = SPECIAL.index("<bos>")
+            # from the dataset's vocab, NOT the synthetic SPECIAL table: the
+            # fixed ZINC vocab pins '<bos>' at 0 (SPECIAL has it at 1), and a
+            # wrong id silently flips the unpacked forward to the masked-mean
+            # fallback while the packed readout pools the true segment start
+            # — a train(packed)/eval(unpacked) readout mismatch that made
+            # packed ibtt-zinc val diverge (reference pooling contract:
+            # train_ibtt.py:114-120, '<bos>' state when position 0 is <bos>)
+            bos_id = (bundle.vocab or {}).get("<bos>", SPECIAL.index("<bos>"))
             # per-task '<q>' operand positions — one shared table
             # (datasets.QUERY_OFFSETS) also drives the packed-row readout
             offsets = QUERY_OFFSETS.get(task, (1, 2))

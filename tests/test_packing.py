@@ -153,3 +153,50 @@ def test_packed_flash_forward_matches_xla_path():
         out_f = np.asarray(model_fl.apply({"params": params}, pk["ids"],
                                           pk["seg"] > 0, **args))
     np.testing.assert_allclose(out_f, out_x, atol=2e-5, rtol=1e-4)
+
+
+def test_packed_zinc_forward_matches_unpacked(tmp_path):
+    """ZINC regression rows: the packed forward must equal the unpacked
+    forward per example. Guards the bos-id contract — the fixed ZINC vocab
+    pins '<bos>' at 0 (SPECIAL has it at 1); a wrong model bos_id silently
+    flips the unpacked path to masked-mean pooling while the packed path
+    reads the true segment start, diverging train from eval."""
+    from glearning_benchmark_tpu.train.datasets import build_ibtt_dataset
+    from glearning_benchmark_tpu.train.trainer import build_model
+
+    cfg = {"dataset": {"task": "zinc", "zinc_root": str(tmp_path / "ZINC"),
+                       "subset": True, "max_len": 1024, "pack": True},
+           "model": {"d_model": 16, "nhead": 4, "nlayers": 2, "d_ff": 64,
+                     "use_flash": False, "compute_dtype": "float32",
+                     "max_pos": 1024}}
+    b = build_ibtt_dataset(cfg["dataset"], seed=0, limit=200)
+    model = build_model("ibtt", cfg, b)
+    assert model.bos_id == b.vocab["<bos>"] == 0
+    tr = b.splits["train"]
+    ids, seg = tr["ids"][:8], tr["seg"][:8]
+    args = dict(q_token_id=b.q_token_id, deterministic=True, seg=seg,
+                pos=tr["pos"][:8], pos_bos=tr["pos_bos"][:8],
+                pos_u=tr["pos_u"][:8], pos_v=tr["pos_v"][:8])
+    params = model.init(jax.random.PRNGKey(0), ids, seg > 0, **args)["params"]
+    out_p = np.asarray(model.apply({"params": params}, ids, seg > 0, **args))
+
+    L = ids.shape[1]
+    rows = []
+    for r in range(ids.shape[0]):
+        for s in range(tr["y"].shape[1]):
+            if not tr["ex_valid"][r, s]:
+                continue
+            tok = ids[r][seg[r] == s + 1]
+            row = np.full(L, b.meta["pad_id"], np.int32)
+            row[: len(tok)] = tok
+            m = np.zeros(L, bool)
+            m[: len(tok)] = True
+            rows.append((row, m, r, s))
+    ids_u = np.stack([x[0] for x in rows])
+    mask_u = np.stack([x[1] for x in rows])
+    out_u = np.asarray(model.apply({"params": params}, ids_u, mask_u,
+                                   q_token_id=b.q_token_id,
+                                   deterministic=True))
+    for i, (_, _, r, s) in enumerate(rows):
+        np.testing.assert_allclose(out_p[r, s], out_u[i], atol=2e-5,
+                                   err_msg=f"row {r} slot {s}")
