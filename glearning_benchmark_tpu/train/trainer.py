@@ -275,6 +275,13 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
                 return loss, (stats, new_stats)
 
             (loss, (stats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # gradient global-norm, carried through the scanned stats — the
+            # wandb.watch(log="all") observability equivalent (reference
+            # train_ibtt.py:450-453) as a per-epoch scalar
+            has = (stats["count"] > 0).astype(jnp.float32)
+            stats = dict(stats)
+            stats["gn_sum"] = optax.global_norm(grads) * has
+            stats["gn_cnt"] = has
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if batch_stats is not None and new_bs is not None:
@@ -380,11 +387,15 @@ def make_batches(n: int, batch_size: int, rng: np.random.Generator | None,
 def _epoch_metrics(stats, task, num_classes):
     stats = jax.tree.map(np.asarray, stats)
     if task == "zinc":
-        return regression_metrics_from_sums(
+        m = regression_metrics_from_sums(
             float(stats["abs_sum"]), float(stats["sq_sum"]),
             float(stats["loss_sum"]), float(stats["count"]))
-    return classification_metrics_from_cm(
-        stats["cm"], task, float(stats["loss_sum"]), float(stats["count"]))
+    else:
+        m = classification_metrics_from_cm(
+            stats["cm"], task, float(stats["loss_sum"]), float(stats["count"]))
+    if "gn_sum" in stats:  # mean per-step gradient global-norm (train only)
+        m["grad_norm"] = float(stats["gn_sum"]) / max(float(stats["gn_cnt"]), 1.0)
+    return m
 
 
 def _device_memory_mb() -> float:
@@ -411,9 +422,11 @@ class RunLogger:
                 self.wandb = wandb
                 wandb.init(project=wandb_cfg.get("project", "graph-token"),
                            name=wandb_name or run_name, config=config)
-                # (reference also calls wandb.watch(model) — torch-only
-                # gradient hooks with no flax equivalent; param/grad norms
-                # would need explicit logging instead)
+                # wandb.watch(model, log="all") equivalent (reference
+                # train_ibtt.py:450-453): train/grad_norm is logged per
+                # epoch from the scanned stats, and log_param_histograms
+                # records per-layer weight histograms at dispatch-block
+                # boundaries (torch's gradient hooks have no flax analogue)
             except Exception:
                 self.wandb = None
 
@@ -435,6 +448,22 @@ class RunLogger:
         """W&B table (reference logs the CM as a table, train_ibtt.py:653-663)."""
         if self.wandb:
             self.wandb.log({key: self.wandb.Table(columns=columns, data=data)})
+
+    def log_param_histograms(self, params, step: Optional[int] = None):
+        """Per-layer weight histograms — the parameter half of the
+        reference's wandb.watch(log="all") (train_ibtt.py:450-453). No-op
+        (and no device sync) without wandb."""
+        if not self.wandb:
+            return
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        hists = {}
+        for path, leaf in flat:
+            name = "/".join(getattr(p, "key", str(getattr(p, "idx", p)))
+                            for p in path)
+            hists[f"parameters/{name}"] = self.wandb.Histogram(
+                np.asarray(leaf).ravel())
+        if hists:
+            self.wandb.log(hists if step is None else {**hists, "epoch": step})
 
     def finish(self):
         self._f.close()
@@ -698,6 +727,8 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                 "throughput/graphs_per_sec": n_train_examples / dur if dur > 0 else 0.0,
                 "memory/device_mb": _device_memory_mb(),
             }
+            if "grad_norm" in tr:
+                log["train/grad_norm"] = tr["grad_norm"]
             if task == "zinc":
                 for kk in ("mae", "mse", "rmse"):
                     log[f"train/{kk}"] = tr[kk]
@@ -742,6 +773,9 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                              "opt_state": best_opt,
                              "epoch": epoch + blk_ep, "best_val": best_val,
                              "config": config, "vocab": bundle.vocab})
+        # parameter histograms at block boundaries (wandb.watch parity);
+        # no-op without wandb, so the jitted loop never syncs for it
+        logger.log_param_histograms(params, step=epoch + k - 1)
         epoch += k
 
     total_time = time.time() - t0
