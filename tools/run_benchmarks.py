@@ -169,7 +169,7 @@ def run_with_watchdog(name, model, config_path, overrides, result_path,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--set", default="full", choices=["quick", "full"])
+    ap.add_argument("--set", default="full", choices=["quick", "full", "scaling"])
     ap.add_argument("--only", default=None, help="comma-separated run names")
     ap.add_argument("--out", default="RESULTS.json")
     ap.add_argument("--stall-secs", type=int, default=600)
@@ -185,6 +185,19 @@ def main() -> None:
     import signal
     signal.signal(signal.SIGTERM, _kill_child)
     signal.signal(signal.SIGINT, _kill_child)
+
+    if args.set == "scaling":
+        # CPU-only multi-process host-scaling measurement (tokenize graphs/s
+        # + vocab-build bytes/s at N=1,2,4) — delegates to scaling_bench.py,
+        # which forces JAX_PLATFORMS=cpu in its children (never touches the
+        # single-client TPU tunnel)
+        import subprocess
+        out = args.out if args.out != "RESULTS.json" else "SCALING.json"
+        rc = subprocess.call(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "scaling_bench.py"), "--out", out],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        sys.exit(rc)
 
     runs = RUNS_FULL if args.set == "full" else RUNS_QUICK
     if args.only:
