@@ -94,7 +94,11 @@ def _edges_lexsorted_per_mol(flat: Dict[str, np.ndarray]) -> bool:
     big = int(max(src.max(), dst.max())) + 2
     key = src * big + dst
     starts = np.zeros(src.size, dtype=bool)
-    starts[eo[1:-1]] = True
+    # interior boundaries equal to src.size mark trailing zero-edge
+    # molecules — no edge starts there, so they impose no constraint
+    # (indexing them would walk off the end of `starts`)
+    interior = eo[1:-1]
+    starts[interior[interior < src.size]] = True
     if not bool(np.all((key[1:] > key[:-1]) | starts[1:])):
         return done(False)
     rev = src > dst

@@ -190,6 +190,12 @@ def test_edges_lexsorted_gate_native_matches_numpy():
         case([2, 3], [0, 1, 0, 2], [1, 0, 1, 1], [0, 2, 4]),    # mol2 miss
         case([4], [0, 1, 2, 3], [1, 2, 3, 0], [0, 4]),          # ring, no mirror
         case([2], [], [], [0, 0]),                              # empty
+        # trailing zero-edge molecule: interior boundary == src.size used to
+        # IndexError in the numpy gate (regression)
+        case([3, 1], [0, 1, 1, 2], [1, 0, 2, 1], [0, 4, 4]),    # pass
+        case([3, 1, 1], [0, 1, 1, 2], [1, 0, 2, 1], [0, 4, 4, 4]),  # 2 empty
+        case([1, 3], [0, 1, 1, 2], [1, 0, 2, 1], [0, 0, 4]),    # leading empty
+        case([3, 1], [1, 0, 1, 2], [0, 1, 2, 1], [0, 4, 4]),    # empty + unsorted
     ]
     for i, c in enumerate(cases):
         a = nat.edges_lexsorted_native(c)

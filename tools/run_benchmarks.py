@@ -192,6 +192,10 @@ def main() -> None:
         # which forces JAX_PLATFORMS=cpu in its children (never touches the
         # single-client TPU tunnel)
         import subprocess
+        if args.only or args.rerun or args.stall_secs != 600:
+            print("[scaling] note: --only/--rerun/--stall-secs do not apply; "
+                  "use tools/scaling_bench.py directly for its knobs "
+                  "(--mols/--hosts/--reps)", flush=True)
         out = args.out if args.out != "RESULTS.json" else "SCALING.json"
         rc = subprocess.call(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
