@@ -40,7 +40,21 @@ from ..tokenization.vocab import (
 
 SPLITS = ("train", "val", "test")
 
-QUERY_OFFSETS = {"shortest_path": (2, 3), "node_degree": (1, 1)}  # default (1, 2)
+# every task whose label is query-conditioned — the single source of truth
+# for (a) token-model query-node readout, (b) the AGTT '<q> u v' trail
+# append, (c) graph-model query-encoding feature columns. maximum_flow and
+# node_classification are query tasks too: omitting them here would hand
+# AGTT/MPNN/GPS inputs with no query at all (an unsolvable dataset, since
+# many labels share one graph). Single-node queries carry query_u == query_v
+# (text_grammar.text_record_to_graph).
+QUERY_TASKS = ("shortest_path", "reachability", "edge_existence",
+               "node_degree", "maximum_flow", "node_classification")
+
+# token offsets of (u, v) after the '<q>' marker in the IBTT text grammar:
+# '<q> shortest_distance u v' -> (2, 3); '<q> u' -> (1, 1);
+# '<q> class u' -> (2, 2); pair default '<q> u v' -> (1, 2)
+QUERY_OFFSETS = {"shortest_path": (2, 3), "node_degree": (1, 1),
+                 "node_classification": (2, 2)}  # default (1, 2)
 
 
 def _pack_train_split(seqs, labels, bucket, pad_id, q_id, offsets):
@@ -245,8 +259,7 @@ def build_ibtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
         mask = np.arange(bucket)[None, :] < lens[:, None]
         splits[s] = {"ids": out, "mask": mask, "y": labels[s]}
 
-    query_tasks = ("shortest_path", "reachability", "edge_existence", "node_degree")
-    q_id = vocab.get("<q>") if task in query_tasks else None
+    q_id = vocab.get("<q>") if task in QUERY_TASKS else None
 
     n_examples_train = len(labels["train"])
     if bool(dataset_cfg.get("pack", False)) and n_examples_train:
@@ -333,8 +346,9 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
         for g, t in zip(gs, raw):
             if is_zinc:
                 t = tok.remap_zinc_tokens(t, fixed)
-            if task in ("shortest_path", "reachability", "edge_existence",
-                        "node_degree") and g.query_u is not None:
+            if task in QUERY_TASKS and g.query_u is not None:
+                # single-node queries carry query_v == query_u, so the
+                # appended trail suffix is always '<q> u v'
                 t = tok.append_query(t, g.query_u, g.query_v)
             seqs.append((t, g.y))
         seqs_by_split[s] = seqs
@@ -364,7 +378,7 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
     all_ex = [{"label": int(y)} for s in SPLITS for _, y in seqs_by_split[s]] \
         if not is_zinc else []
     num_classes = 1 if is_zinc else determine_num_classes(all_ex, task)
-    q_id = tok.query_token_id if task in ("shortest_path", "reachability", "edge_existence", "node_degree") else None
+    q_id = tok.query_token_id if task in QUERY_TASKS else None
 
     n_examples_train = len(seqs_by_split["train"])
     if bool(dataset_cfg.get("pack", False)) and n_examples_train:
@@ -400,7 +414,7 @@ def build_graph_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = Non
             graphs = {s: v[:limit] for s, v in graphs.items()}
 
     n_max = max(g.num_nodes for s in SPLITS for g in graphs[s])
-    query_encoding = task in ("shortest_path", "reachability", "edge_existence", "node_degree")
+    query_encoding = task in QUERY_TASKS
     node_feat_mode = "labels" if is_zinc else "const"
     label_dtype = np.float32 if is_zinc else np.int32
 

@@ -46,6 +46,7 @@ from ..tokenization.vocab import SPECIAL
 from .checkpoint import load_checkpoint, save_checkpoint
 from .datasets import (
     QUERY_OFFSETS,
+    QUERY_TASKS,
     DatasetBundle,
     build_agtt_dataset,
     build_graph_dataset,
@@ -67,7 +68,7 @@ class TrainResult:
 # model construction
 # ---------------------------------------------------------------------------
 
-QUERY_TASKS = ("shortest_path", "reachability", "edge_existence", "node_degree")
+# QUERY_TASKS is the shared table in datasets.py (imported above)
 
 
 def build_model(model_name: str, config: dict, bundle: DatasetBundle):

@@ -58,12 +58,19 @@ def test_corpus_and_loading(task, tmp_path):
     ("ibtt", "node_degree"),
     ("mpnn", "edge_existence"),
     ("agtt", "reachability"),
+    # regression: maximum_flow / node_classification were missing from the
+    # QUERY_TASKS table, so AGTT trails and graph-model feature columns
+    # carried NO query — an unsolvable dataset (many labels per graph)
+    ("agtt", "maximum_flow"),
+    ("mpnn", "node_classification"),
 ])
 def test_train_extended_task(model_name, task, tmp_path):
     root = tempfile.mkdtemp()
+    # node_classification needs community-labeled (SBM) graphs
+    algos = (["sbm"], "sbm") if task == "node_classification" else (["er"], "ba")
     cfg = {
         "dataset": {"graph_token_root": root, "task": task,
-                    "train_algorithms": ["er"], "test_algorithm": "ba",
+                    "train_algorithms": algos[0], "test_algorithm": algos[1],
                     "use_split_tasks_dirs": True, "num_graphs": 15,
                     "max_len": 600, "max_vocab": 600, "generate_num_graphs": 15},
         "model": {"d_model": 16, "nhead": 4, "nlayers": 1, "d_ff": 32,
