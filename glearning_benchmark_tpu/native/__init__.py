@@ -86,6 +86,77 @@ def available() -> bool:
     return get_lib() is not None
 
 
+# ---------------------------------------------------------------------------
+# libgstats.so — graphlet orbit counting (native/gstats.cpp), the ORCA-
+# equivalent host component for generation-quality evaluation (the reference
+# env compiles AutoGraph's ORCA for this, docs/setup.md:30-36)
+# ---------------------------------------------------------------------------
+
+_GSTATS_PATH = os.path.join(_NATIVE_DIR, "libgstats.so")
+_gstats = None
+_gstats_tried = False
+
+
+def get_gstats():
+    """Load (building if needed) the orbit-count library; None if unavailable."""
+    global _gstats, _gstats_tried
+    if _gstats is not None or _gstats_tried:
+        return _gstats
+    _gstats_tried = True
+    if not os.path.isfile(_GSTATS_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_GSTATS_PATH)
+    except OSError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    try:
+        lib.gstats_orbit_counts_batch.restype = ctypes.c_int32
+        lib.gstats_orbit_counts_batch.argtypes = [
+            i32p, i32p, i64p, i32p, i64p, ctypes.c_int32, i64p]
+    except AttributeError:
+        return None  # stale .so predating gstats
+    _gstats = lib
+    return _gstats
+
+
+def gstats_available() -> bool:
+    return get_gstats() is not None
+
+
+def orbit_counts_batch_native(edges_list, n_nodes_list) -> np.ndarray:
+    """Per-node graphlet orbit counts (ORCA orbits 0-14) for a batch of
+    graphs. ``edges_list[g]`` is an [E_g, 2] int array (undirected, either
+    or both directions); returns int64 [sum(n_nodes), 15] with graph g's
+    rows at ``offsets[g]:offsets[g]+n_nodes[g]`` where offsets = cumsum."""
+    lib = get_gstats()
+    if lib is None:
+        raise RuntimeError("native gstats library unavailable")
+    n_graphs = len(n_nodes_list)
+    n_nodes = np.asarray(n_nodes_list, dtype=np.int32)
+    e_counts = np.array([len(e) for e in edges_list], dtype=np.int64)
+    edge_off = np.zeros(n_graphs + 1, dtype=np.int64)
+    np.cumsum(e_counts, out=edge_off[1:])
+    node_off = np.zeros(n_graphs + 1, dtype=np.int64)
+    np.cumsum(n_nodes.astype(np.int64), out=node_off[1:])
+    if edge_off[-1]:
+        flat = np.concatenate([np.asarray(e, dtype=np.int32).reshape(-1, 2)
+                               for e in edges_list if len(e)])
+    else:
+        flat = np.zeros((0, 2), dtype=np.int32)
+    src = np.ascontiguousarray(flat[:, 0], dtype=np.int32)
+    dst = np.ascontiguousarray(flat[:, 1], dtype=np.int32)
+    counts = np.zeros((int(node_off[-1]), 15), dtype=np.int64)
+    rc = lib.gstats_orbit_counts_batch(
+        _i32p(src), _i32p(dst), _i64p(edge_off), _i32p(n_nodes),
+        _i64p(node_off), n_graphs,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError(f"gstats_orbit_counts_batch failed at graph {-rc - 1}")
+    return counts
+
+
 def _i32p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 

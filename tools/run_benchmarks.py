@@ -65,6 +65,37 @@ RUNS_FULL = [
 
 RUNS_QUICK = [r[:3] + ({**r[3], "train.epochs": 10},) for r in RUNS_FULL[:4]]
 
+# the other eight graph-token task families the reference documents but never
+# exercises (docs/synthetic_data.md:29-42) — one row per family, all four
+# model families represented; results land in RESULTS_EXTENDED.json/.md
+_EXT = {"dataset.num_graphs": 500, "train.epochs": 100,
+        "train.epochs_per_dispatch": 10}
+RUNS_EXTENDED = [
+    ("ibtt-reach", "ibtt", "configs/ibtt_graph_token.yaml",
+     {**_EXT, "dataset.task": "reachability", "output.run_name": "ibtt-reach"}),
+    ("ibtt-edgeexist", "ibtt", "configs/ibtt_graph_token.yaml",
+     {**_EXT, "dataset.task": "edge_existence",
+      "output.run_name": "ibtt-edgeexist"}),
+    ("agtt-maxflow", "agtt", "configs/agtt_graph_token.yaml",
+     {**_EXT, "dataset.task": "maximum_flow",
+      "output.run_name": "agtt-maxflow"}),
+    ("mpnn-degree", "mpnn", "configs/mpnn_graph_token.yaml",
+     {**_EXT, "dataset.task": "node_degree", "output.run_name": "mpnn-degree"}),
+    ("mpnn-nodecount", "mpnn", "configs/mpnn_graph_token.yaml",
+     {**_EXT, "dataset.task": "node_count",
+      "output.run_name": "mpnn-nodecount"}),
+    ("mpnn-nodeclass", "mpnn", "configs/mpnn_graph_token.yaml",
+     {**_EXT, "dataset.task": "node_classification",
+      "dataset.train_algorithms": ["sbm"], "dataset.test_algorithm": "sbm",
+      "output.run_name": "mpnn-nodeclass"}),
+    ("gps-triangle", "ggps", "configs/gps_graph_token.yaml",
+     {**_EXT, "dataset.task": "triangle_count",
+      "output.run_name": "gps-triangle"}),
+    ("gps-edgecount", "ggps", "configs/gps_graph_token.yaml",
+     {**_EXT, "dataset.task": "edge_count",
+      "output.run_name": "gps-edgecount"}),
+]
+
 
 def apply_overrides(cfg: dict, overrides: dict) -> dict:
     for key, val in overrides.items():
@@ -169,7 +200,8 @@ def run_with_watchdog(name, model, config_path, overrides, result_path,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--set", default="full", choices=["quick", "full", "scaling"])
+    ap.add_argument("--set", default="full",
+                    choices=["quick", "full", "scaling", "extended"])
     ap.add_argument("--only", default=None, help="comma-separated run names")
     ap.add_argument("--out", default="RESULTS.json")
     ap.add_argument("--stall-secs", type=int, default=600)
@@ -203,7 +235,12 @@ def main() -> None:
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         sys.exit(rc)
 
-    runs = RUNS_FULL if args.set == "full" else RUNS_QUICK
+    if args.set == "extended":
+        runs = RUNS_EXTENDED
+        if args.out == "RESULTS.json":
+            args.out = "RESULTS_EXTENDED.json"
+    else:
+        runs = RUNS_FULL if args.set == "full" else RUNS_QUICK
     if args.only:
         wanted = set(args.only.split(","))
         runs = [r for r in runs if r[0] in wanted]
@@ -226,8 +263,11 @@ def main() -> None:
             json.dump(results, f, indent=2)
         print(f"[{name}] -> {json.dumps(results[name])}", flush=True)
 
-    # markdown summary
-    lines = ["# RESULTS — this framework (TPU)", "",
+    # markdown summary (sits next to the json: RESULTS.json -> RESULTS.md)
+    out_md = os.path.splitext(args.out)[0] + ".md"
+    title = ("# RESULTS — extended task families (TPU)"
+             if args.set == "extended" else "# RESULTS — this framework (TPU)")
+    lines = [title, "",
              "| run | model | task | best val | test | steady epoch (s) | graphs/s |",
              "|---|---|---|---|---|---|---|"]
     for name, r in results.items():
@@ -239,9 +279,16 @@ def main() -> None:
         lines.append(
             f"| {name} | {r['model']} | {r['task']} | {r['best_val']:.4f} | "
             f"{test_key}={test_val:.4f} | {r['steady_epoch_s']} | {r['graphs_per_sec']} |")
-    with open("RESULTS.md", "w") as f:
+    # standing interpretation notes survive table rewrites
+    notes = os.path.splitext(out_md)[0] + "_NOTES.md"
+    if args.set == "full" and os.path.isfile("RESULTS_NOTES.md"):
+        notes = "RESULTS_NOTES.md"
+    if os.path.isfile(notes):
+        with open(notes) as f:
+            lines += ["", f.read().rstrip()]
+    with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("\nwrote RESULTS.json / RESULTS.md", flush=True)
+    print(f"\nwrote {args.out} / {out_md}", flush=True)
 
 
 if __name__ == "__main__":
