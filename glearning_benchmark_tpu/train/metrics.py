@@ -93,6 +93,14 @@ def class_names(task: str, n: int):
 
 def format_confusion_matrix(cm: np.ndarray, task: str = "cycle_check") -> str:
     """Text confusion-matrix table (reference: metrics.py:155-182)."""
+    if cm.shape[0] > 30:
+        # extended count tasks reach C>1000; a C² console table is megabytes
+        # of text — summarize instead (the reference only ever renders C∈{2,7})
+        diag = int(np.trace(cm))
+        total = int(cm.sum())
+        return (f"Confusion Matrix: {cm.shape[0]} classes "
+                f"(too large to render); diagonal {diag}/{total} "
+                f"({diag / max(total, 1):.4f} accuracy)")
     labels = class_names(task, cm.shape[0])
     header = "Confusion Matrix:\nPredicted →\nActual ↓  " + \
         "  ".join(f"{l:>6}" for l in labels) + "\n"

@@ -805,11 +805,12 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             # W&B CM image + table parity (train_ibtt.py:641-663)
             logger.log_image("test/confusion_matrix_heatmap", img,
                              caption="Confusion Matrix")
-            labels = class_names(task, cm.shape[0])
-            logger.log_table("test/confusion_matrix",
-                             ["True/Pred"] + labels,
-                             [[lab] + cm[i].tolist()
-                              for i, lab in enumerate(labels)])
+            if cm.shape[0] <= 30:  # W&B table is C×(C+1) cells; skip huge C
+                labels = class_names(task, cm.shape[0])
+                logger.log_table("test/confusion_matrix",
+                                 ["True/Pred"] + labels,
+                                 [[lab] + cm[i].tolist()
+                                  for i, lab in enumerate(labels)])
         except Exception:
             pass
 

@@ -103,13 +103,23 @@ def create_confusion_matrix_heatmap(cm: np.ndarray, task: str = "cycle_check",
 
     fig, ax = plt.subplots(figsize=(10, 8))
     im = ax.imshow(cm, cmap="Blues")
-    for i in range(cm.shape[0]):
-        for j in range(cm.shape[1]):
-            val = int(cm[i, j])
-            ax.text(j, i, str(val), ha="center", va="center",
-                    color="white" if cm[i, j] > cm.max() / 2 else "black")
-    ax.set_xticks(range(len(labels)), labels, rotation=45, ha="right")
-    ax.set_yticks(range(len(labels)), labels)
+    # Per-cell count annotations only for small class counts: the reference's
+    # tasks have C∈{2,7}, but extended count tasks (triangle_count,
+    # edge_count) reach C>1000 and C² text artists take tens of minutes and
+    # ~10GB of host RAM to render.
+    if cm.shape[0] <= 30:
+        for i in range(cm.shape[0]):
+            for j in range(cm.shape[1]):
+                val = int(cm[i, j])
+                ax.text(j, i, str(val), ha="center", va="center",
+                        color="white" if cm[i, j] > cm.max() / 2 else "black")
+        ax.set_xticks(range(len(labels)), labels, rotation=45, ha="right")
+        ax.set_yticks(range(len(labels)), labels)
+    else:
+        step = max(1, cm.shape[0] // 10)
+        ticks = list(range(0, cm.shape[0], step))
+        ax.set_xticks(ticks, [labels[t] for t in ticks], rotation=45, ha="right")
+        ax.set_yticks(ticks, [labels[t] for t in ticks])
     ax.set_xlabel("Predicted Label", fontsize=12, fontweight="bold")
     ax.set_ylabel("True Label", fontsize=12, fontweight="bold")
     ax.set_title(title, fontsize=14, fontweight="bold", pad=20)

@@ -71,8 +71,11 @@ RUNS_QUICK = [r[:3] + ({**r[3], "train.epochs": 10},) for r in RUNS_FULL[:4]]
 _EXT = {"dataset.num_graphs": 500, "train.epochs": 100,
         "train.epochs_per_dispatch": 10}
 RUNS_EXTENDED = [
+    # test on er, not the default sfn: BA/Holme-Kim graphs are connected by
+    # construction, so a sfn reachability test split is single-class
     ("ibtt-reach", "ibtt", "configs/ibtt_graph_token.yaml",
-     {**_EXT, "dataset.task": "reachability", "output.run_name": "ibtt-reach"}),
+     {**_EXT, "dataset.task": "reachability", "dataset.test_algorithm": "er",
+      "output.run_name": "ibtt-reach"}),
     ("ibtt-edgeexist", "ibtt", "configs/ibtt_graph_token.yaml",
      {**_EXT, "dataset.task": "edge_existence",
       "output.run_name": "ibtt-edgeexist"}),
