@@ -43,6 +43,7 @@ class EncoderLayer(nn.Module):
     p_drop: float = 0.1
     use_flash: bool = False
     dtype: Any = jnp.float32
+    sp_mesh: Any = None   # ('data','seq') Mesh -> sequence-parallel ring attn
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool,
@@ -56,12 +57,21 @@ class EncoderLayer(nn.Module):
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
         # attention-prob dropout (torch MultiheadAttention default,
-        # train_ibtt.py:45-50). Both paths apply it; the flash kernel
-        # regenerates its keep mask in-kernel from a counter hash (its
-        # Bernoulli stream differs from the XLA path's jax.random — dropout
+        # train_ibtt.py:45-50). All paths apply it; the flash kernel and the
+        # ring path regenerate their keep masks from their own hashes (their
+        # Bernoulli streams differ from the XLA path's jax.random — dropout
         # semantics, not stream identity, are the contract)
         attn_drop = self.p_drop if (not deterministic and self.p_drop > 0) else 0.0
-        if self.use_flash:
+        if self.sp_mesh is not None:
+            if seg is not None:
+                raise ValueError("sequence-parallel ring attention does not "
+                                 "support packed rows (disable dataset.pack)")
+            from ..ops.ring_attention import ring_attention
+            attn = ring_attention(
+                self.sp_mesh, q, k, v, key_mask,
+                dropout_rate=attn_drop,
+                dropout_rng=self.make_rng("dropout") if attn_drop else None)
+        elif self.use_flash:
             import jax
 
             from ..ops.pallas_attention import flash_attention
@@ -105,6 +115,9 @@ class SimpleTransformer(nn.Module):
                                           # FLOPs for HBM at long seq lengths)
     use_flash: bool = False               # Pallas flash attention (TPU only)
     compute_dtype: str = "float32"        # 'bfloat16' halves attention traffic
+    sp_mesh: Any = None                   # ('data','seq') Mesh: shard L and
+                                          # ring K/V blocks over ICI
+                                          # (ops/ring_attention.py)
 
     @nn.compact
     def __call__(
@@ -135,7 +148,7 @@ class SimpleTransformer(nn.Module):
         cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         for i in range(self.nlayers):
             h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
-                          self.use_flash, cdtype,
+                          self.use_flash, cdtype, self.sp_mesh,
                           name=f"layer_{i}")(h, attn_mask, deterministic, seg)
 
         norm = nn.LayerNorm(name="norm")

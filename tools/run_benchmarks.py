@@ -87,6 +87,12 @@ RUNS_EXTENDED = [
     ("mpnn-nodecount", "mpnn", "configs/mpnn_graph_token.yaml",
      {**_EXT, "dataset.task": "node_count",
       "output.run_name": "mpnn-nodecount"}),
+    # mean pooling is size-invariant, so node_count is architecture-blind at
+    # the reference config; the add-pool row shows the task is solvable once
+    # the readout can see graph size
+    ("mpnn-nodecount-add", "mpnn", "configs/mpnn_graph_token.yaml",
+     {**_EXT, "dataset.task": "node_count", "model.pooling": "add",
+      "output.run_name": "mpnn-nodecount-add"}),
     ("mpnn-nodeclass", "mpnn", "configs/mpnn_graph_token.yaml",
      {**_EXT, "dataset.task": "node_classification",
       "dataset.train_algorithms": ["sbm"], "dataset.test_algorithm": "sbm",
