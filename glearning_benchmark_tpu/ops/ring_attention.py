@@ -106,11 +106,15 @@ def ring_attention(
     key_mask: jnp.ndarray,     # [B, L] bool
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    data_axis: str = "data",
     seq_axis: str = "seq",
 ) -> jnp.ndarray:
     """Sequence-parallel attention: shard L over ``seq_axis`` and ring the
-    K/V blocks. Drop-in for ``multi_head_attention`` on unpacked rows."""
+    K/V blocks. Drop-in for ``multi_head_attention`` on unpacked rows.
+
+    shard_map is *partial-manual*: only ``seq_axis`` is manual, every other
+    mesh axis (data, model, ...) stays under GSPMD control — the batch dim
+    keeps whatever DP sharding the trainer gave it, with no divisibility
+    constraint at this boundary."""
     s = mesh.shape[seq_axis]
     if q.shape[1] % s:
         raise ValueError(f"L={q.shape[1]} not divisible by seq axis size {s}")
@@ -123,13 +127,14 @@ def ring_attention(
     else:  # legacy raw uint32 key (what flax's make_rng hands out)
         rng_data = dropout_rng.astype(jnp.uint32)
 
-    spec = P(data_axis, seq_axis, None, None)
-    mspec = P(data_axis, seq_axis)
+    spec = P(None, seq_axis, None, None)
+    mspec = P(None, seq_axis)
     fn = jax.shard_map(
         partial(_ring_body, axis_name=seq_axis, p_drop=float(dropout_rate)),
         mesh=mesh,
         in_specs=(spec, spec, spec, mspec, P()),
         out_specs=spec,
+        axis_names={seq_axis},
         check_vma=False,
     )
     return fn(q, k, v, key_mask, rng_data)

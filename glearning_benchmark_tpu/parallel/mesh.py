@@ -20,12 +20,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(devices: Optional[Sequence] = None,
               data_axis: Optional[int] = None,
-              model_axis: int = 1) -> Mesh:
-    """Build a ('data', 'model') mesh. Defaults: all devices on 'data'."""
+              model_axis: int = 1,
+              seq_shards: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh — plus a trailing 'seq' axis when
+    ``seq_shards`` > 1 (sequence-parallel ring attention,
+    ops/ring_attention.py). Defaults: all devices on 'data'."""
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
     if data_axis is None:
-        data_axis = n // model_axis
+        data_axis = n // (model_axis * seq_shards)
+    if seq_shards > 1:
+        arr = np.array(devs).reshape(data_axis, model_axis, seq_shards)
+        return Mesh(arr, axis_names=("data", "model", "seq"))
     arr = np.array(devs).reshape(data_axis, model_axis)
     return Mesh(arr, axis_names=("data", "model"))
 

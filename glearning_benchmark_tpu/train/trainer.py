@@ -71,7 +71,8 @@ class TrainResult:
 # QUERY_TASKS is the shared table in datasets.py (imported above)
 
 
-def build_model(model_name: str, config: dict, bundle: DatasetBundle):
+def build_model(model_name: str, config: dict, bundle: DatasetBundle,
+                sp_mesh=None):
     model_cfg = config.get("model", {})
     task = bundle.task
     use_query = task in QUERY_TASKS
@@ -116,6 +117,10 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle):
             # attention (≈5% of epoch) for attention-prob dropout parity.
             use_flash=bool(model_cfg.get("use_flash", False)),
             compute_dtype=model_cfg.get("compute_dtype", "bfloat16"),
+            # sequence-parallel ring attention over the mesh's 'seq' axis
+            # (parallel.seq_shards > 1); flash and SP are mutually
+            # exclusive attention implementations — SP wins when both set
+            sp_mesh=sp_mesh,
         )
     if model_name == "mpnn":
         return MPNN(
@@ -506,8 +511,20 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # misses divisibility must not silently disable sharding.
     parallel_cfg = config.get("parallel", {})
     model_axis = int(parallel_cfg.get("model_axis", 1))
+    # parallel.seq_shards splits the sequence axis over a 'seq' mesh axis
+    # (ring attention, ops/ring_attention.py) — token transformers only,
+    # incompatible with packed rows (the ring has no segment mask)
+    seq_shards = int(parallel_cfg.get("seq_shards", 1))
+    if seq_shards > 1:
+        if model_name not in ("ibtt", "agtt"):
+            raise ValueError("parallel.seq_shards applies to the token "
+                             "transformers (ibtt/agtt); graph-native models "
+                             "have no sequence axis")
+        if packed_train:
+            raise ValueError("parallel.seq_shards requires dataset.pack: "
+                             "false (ring attention has no segment mask)")
     if mesh is None and len(jax.devices()) > 1:
-        mesh = make_mesh(model_axis=model_axis)
+        mesh = make_mesh(model_axis=model_axis, seq_shards=seq_shards)
     if mesh is not None and packed_train:
         da = int(mesh.shape["data"])
         train_bs = max(da, (train_bs // da) * da)
@@ -531,7 +548,15 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             except Exception:
                 pass
     num_classes = bundle.num_classes
-    model = build_model(model_name, config, bundle)
+    # SP is active whenever the effective mesh carries a >1 'seq' axis
+    # (config-built above, or a caller-supplied mesh=)
+    sp_active = (mesh is not None and "seq" in mesh.axis_names
+                 and mesh.shape["seq"] > 1)
+    if sp_active and packed_train:
+        raise ValueError("sequence-parallel mesh requires dataset.pack: "
+                         "false (ring attention has no segment mask)")
+    model = build_model(model_name, config, bundle,
+                        sp_mesh=mesh if sp_active else None)
 
     # steps/schedule
     steps_per_epoch = max(1, (n_train + train_bs - 1) // train_bs)
