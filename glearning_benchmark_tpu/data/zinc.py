@@ -29,7 +29,7 @@ from typing import List
 
 import numpy as np
 
-from .graphs import Graph
+from .graphs import Graph, GraphCorpus
 
 ZINC_NUM_ATOM_TYPES = 9   # C N O F P S Cl Br I (reference zinc_vocab.py:20)
 ZINC_NUM_BOND_TYPES = 4   # single double triple aromatic (1-based ids)
@@ -151,7 +151,10 @@ def save_zinc_npz(path: str, graphs: List[Graph]) -> None:
     )
 
 
-def _load_npz(path: str) -> List[Graph]:
+def _load_npz(path: str):
+    """Returns (graphs, flat): per-molecule Graph views plus the corpus's
+    flat struct-of-arrays form, built directly from the export arrays
+    (the export schema is already flat — no per-molecule round-trip)."""
     z = np.load(path)
     node_off, edge_off = z["node_offsets"], z["edge_offsets"]
     atom, src, dst, bond, y = z["atom_types"], z["edge_src"], z["edge_dst"], z["bond_types"], z["y"]
@@ -164,22 +167,37 @@ def _load_npz(path: str) -> List[Graph]:
             edges=edges, num_nodes=ne - ns, y=float(y[i]),
             node_labels=atom[ns:ne].astype(np.int32),
             edge_labels=bond[es:ee].astype(np.int32)))
-    return graphs
+    node_off = node_off.astype(np.int64)
+    edge_off = edge_off.astype(np.int64)
+    flat = {
+        "n_nodes": np.diff(node_off), "n_edges": np.diff(edge_off),
+        "node_off": node_off, "edge_off": edge_off,
+        "atoms": atom.astype(np.int64),
+        "src": src.astype(np.int64), "dst": dst.astype(np.int64),
+        "bond": bond.astype(np.int64), "y": y.astype(np.float64),
+    }
+    # pre-seed the native layer's dtype caches (native._flat_as) with the
+    # export's own int32 arrays — zero-copy
+    for key, arr in (("atoms", atom), ("src", src), ("dst", dst), ("bond", bond)):
+        flat[f"_as:{key}:int32"] = np.ascontiguousarray(arr, dtype=np.int32)
+    return graphs, flat
 
 
 _warned = False
 
 
 def load_zinc_split(root: str = "./data/ZINC", split: str = "train",
-                    subset: bool = True, limit: int | None = None) -> List[Graph]:
+                    subset: bool = True, limit: int | None = None) -> GraphCorpus:
     """Load one ZINC split (real export if present, deterministic stand-in
-    otherwise)."""
+    otherwise). Returns a :class:`GraphCorpus` carrying the flat
+    struct-of-arrays form alongside the per-molecule Graph views."""
     global _warned
     if split not in _SPLIT_SIZES:
         raise ValueError(f"unknown split {split!r}")
     npz = os.path.join(root, f"zinc_{split}.npz")
+    flat = None
     if os.path.isfile(npz):
-        graphs = _load_npz(npz)
+        graphs, flat = _load_npz(npz)
     else:
         if not _warned:
             print("[zinc] no real ZINC export found; using deterministic "
@@ -190,6 +208,11 @@ def load_zinc_split(root: str = "./data/ZINC", split: str = "train",
             count = min(count, limit)
         base = _SPLIT_SEED[split] * 1_000_000 + 777
         graphs = [_synth_molecule(base + i) for i in range(count)]
-    if limit is not None:
-        graphs = graphs[:limit]
-    return graphs
+    if limit is not None and len(graphs) > limit:
+        graphs, flat = graphs[:limit], None
+    corpus = GraphCorpus(graphs)
+    if flat is None:
+        from ..tokenization.ibtt_fast import flatten_zinc_corpus
+        flat = flatten_zinc_corpus(graphs)
+    corpus.flat = flat
+    return corpus

@@ -72,6 +72,11 @@ def get_lib():
         i64p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
     lib.gtok_edges_lexsorted.restype = ctypes.c_int32
     lib.gtok_edges_lexsorted.argtypes = [i64p, i64p, i64p, ctypes.c_int32]
+    u8p_pack = ctypes.POINTER(ctypes.c_uint8)
+    lib.gtok_pack_ids.restype = None
+    lib.gtok_pack_ids.argtypes = [
+        i32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i32p, u8p_pack]
     lib.gtok_corpus_scan.restype = ctypes.c_void_p
     lib.gtok_corpus_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, i64p]
@@ -165,6 +170,20 @@ def _i64p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+def _flat_as(flat, key: str, dtype) -> np.ndarray:
+    """Contiguous dtype view/copy of a flat-corpus field, cached in the flat
+    dict (keys prefixed ``_as:``) — the same flat dict is threaded through
+    vocab build / encode / gate calls, so each field converts at most once
+    per corpus instead of once per native call."""
+    dt = np.dtype(dtype)
+    ck = f"_as:{key}:{dt.name}"
+    a = flat.get(ck)
+    if a is None:
+        a = np.ascontiguousarray(flat[key], dtype=dt)
+        flat[ck] = a
+    return a
+
+
 class NativeVocab:
     """Native hash-map vocab handle."""
 
@@ -224,9 +243,9 @@ def edges_lexsorted_native(flat) -> bool:
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    src = np.ascontiguousarray(flat["src"], dtype=np.int64)
-    dst = np.ascontiguousarray(flat["dst"], dtype=np.int64)
-    edge_off = np.ascontiguousarray(flat["edge_off"], dtype=np.int64)
+    src = _flat_as(flat, "src", np.int64)
+    dst = _flat_as(flat, "dst", np.int64)
+    edge_off = _flat_as(flat, "edge_off", np.int64)
     n_mols = len(flat["n_nodes"])
     return bool(lib.gtok_edges_lexsorted(_i64p(src), _i64p(dst),
                                          _i64p(edge_off), n_mols))
@@ -243,10 +262,10 @@ def zinc_vocab_stream_native(flat):
         raise RuntimeError("native library unavailable")
     b = len(flat["n_nodes"])
     max_nodes = int(flat["n_nodes"].max()) if b else 0
-    src = np.ascontiguousarray(flat["src"].astype(np.int32))
-    dst = np.ascontiguousarray(flat["dst"].astype(np.int32))
-    edge_off = np.ascontiguousarray(flat["edge_off"].astype(np.int64))
-    y = np.ascontiguousarray(flat["y"].astype(np.float64))
+    src = _flat_as(flat, "src", np.int32)
+    dst = _flat_as(flat, "dst", np.int32)
+    edge_off = _flat_as(flat, "edge_off", np.int64)
+    y = _flat_as(flat, "y", np.float64)
     cap = max_nodes + 2 + b  # node indices + one label per molecule, upper bound
     codes = np.empty(cap, dtype=np.int64)
     blob = ctypes.create_string_buffer(b * 24 + 16)
@@ -287,20 +306,23 @@ def zinc_encode_native(flat, vocab, max_len: int = 1024):
     # single-direction inputs (the C side also bounds-checks, returning an
     # error instead of writing past the buffer)
     n = flat["n_nodes"]
-    if flat["src"].size:
-        keep = flat["src"] < flat["dst"]
-        kept_cum = np.concatenate([[0], np.cumsum(keep)])
-        eo = flat["edge_off"].astype(np.int64)
-        kept = kept_cum[eo[1:]] - kept_cum[eo[:-1]]
-    else:
-        kept = np.zeros(b, dtype=np.int64)
-    l_max = int((1 + 2 * n + 4 * kept + 3).max()) if b else 1
-    atoms = np.ascontiguousarray(flat["atoms"].astype(np.int32))
-    src = np.ascontiguousarray(flat["src"].astype(np.int32))
-    dst = np.ascontiguousarray(flat["dst"].astype(np.int32))
-    bond = np.ascontiguousarray(flat["bond"].astype(np.int32))
-    node_off = np.ascontiguousarray(flat["node_off"].astype(np.int64))
-    edge_off = np.ascontiguousarray(flat["edge_off"].astype(np.int64))
+    l_max = flat.get("_l_max")
+    if l_max is None:
+        if flat["src"].size:
+            keep = flat["src"] < flat["dst"]
+            kept_cum = np.concatenate([[0], np.cumsum(keep)])
+            eo = flat["edge_off"].astype(np.int64)
+            kept = kept_cum[eo[1:]] - kept_cum[eo[:-1]]
+        else:
+            kept = np.zeros(b, dtype=np.int64)
+        l_max = int((1 + 2 * n + 4 * kept + 3).max()) if b else 1
+        flat["_l_max"] = l_max
+    atoms = _flat_as(flat, "atoms", np.int32)
+    src = _flat_as(flat, "src", np.int32)
+    dst = _flat_as(flat, "dst", np.int32)
+    bond = _flat_as(flat, "bond", np.int32)
+    node_off = _flat_as(flat, "node_off", np.int64)
+    edge_off = _flat_as(flat, "edge_off", np.int64)
     out = np.empty((b, l_max), dtype=np.int32)
     lens = np.empty(b, dtype=np.int32)
     trunc = np.empty(b, dtype=np.uint8)
@@ -313,6 +335,23 @@ def zinc_encode_native(flat, vocab, max_len: int = 1024):
         raise RuntimeError(f"gtok_zinc_encode failed: {rc}")
     true_max = int(lens.max()) if b else 0
     return out[:, :true_max], lens, trunc.astype(bool)
+
+
+def pack_ids_native(ids: np.ndarray, lens: np.ndarray, l_bucket: int,
+                    pad_id: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Parallel corpus pack (semantics of tokenization.pack.pack_corpus):
+    returns (out int32 [n, l_bucket], mask bool [n, l_bucket])."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n, l = ids.shape
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    out = np.empty((n, l_bucket), dtype=np.int32)
+    mask = np.empty((n, l_bucket), dtype=np.uint8)
+    lib.gtok_pack_ids(_i32p(ids), _i32p(lens32), n, l, l_bucket, pad_id,
+                      _i32p(out), mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, mask.view(bool)
 
 
 def sent_tokenize_batch_native(

@@ -37,8 +37,36 @@ from .vocab import build_fixed_zinc_vocab, extend_vocab_with_dynamic_tokens
 # corpus flattening
 # ---------------------------------------------------------------------------
 
+def _corpus_flat_matches(flat: Dict[str, np.ndarray], mols: Sequence[Graph]) -> bool:
+    """Spot-check that a corpus-carried flat form still describes `mols`
+    (guards against post-load mutation / truncation desync): length plus a
+    full field compare on first/middle/last molecules."""
+    if flat is None or flat["n_nodes"].shape[0] != len(mols) or not len(mols):
+        return flat is not None and len(mols) == 0 and flat["n_nodes"].size == 0
+    no, eo = flat["node_off"], flat["edge_off"]
+    for i in {0, len(mols) // 2, len(mols) - 1}:
+        m = mols[i]
+        ns, ne = int(no[i]), int(no[i + 1])
+        es, ee = int(eo[i]), int(eo[i + 1])
+        if (ne - ns != m.num_nodes or ee - es != m.edges.shape[0]
+                or not np.array_equal(flat["atoms"][ns:ne], m.node_labels)
+                or not np.array_equal(flat["src"][es:ee], m.edges[:, 0])
+                or not np.array_equal(flat["dst"][es:ee], m.edges[:, 1])
+                or flat["y"][i] != m.y):
+            return False
+    return True
+
+
 def flatten_zinc_corpus(mols: Sequence[Graph]) -> Dict[str, np.ndarray]:
-    """Concatenate a molecule list into flat arrays (one-time host prep)."""
+    """Concatenate a molecule list into flat arrays (one-time host prep).
+
+    When `mols` is a :class:`GraphCorpus` that already carries its flat
+    struct-of-arrays form (the TPU-native corpus storage — built zero-copy
+    from an `.npz` export or once at load), that form is reused after a
+    spot-check instead of re-concatenating B small per-molecule arrays."""
+    carried = getattr(mols, "flat", None)
+    if carried is not None and _corpus_flat_matches(carried, mols):
+        return carried
     b = len(mols)
     n_nodes = np.fromiter((m.num_nodes for m in mols), dtype=np.int64, count=b)
     n_edges = np.fromiter((m.edges.shape[0] for m in mols), dtype=np.int64, count=b)

@@ -53,8 +53,20 @@ def pack_corpus(
     """
     n, l = ids.shape
     lb = round_up_to_bucket(l) if bucket else l
-    out = np.full((n, lb), pad_id, dtype=np.int32)
+    # the stage is pure memory bandwidth: prefer the parallel native pass
+    # (native/gtok.cpp gtok_pack_ids, bit-identical — tests/test_native.py)
+    try:
+        from ..native import available as _native_ok, pack_ids_native
+        if n >= 512 and _native_ok():
+            return pack_ids_native(ids, np.asarray(lengths), lb, pad_id)
+    except Exception:
+        pass
+    # numpy fallback: fill only the pad tail (out[:, l:]) instead of
+    # np.full over the whole matrix — the [:, :l] region is overwritten
+    out = np.empty((n, lb), dtype=np.int32)
     out[:, :l] = ids
+    if lb > l:
+        out[:, l:] = pad_id
     mask = np.arange(lb)[None, :] < lengths[:, None]
     return out, mask
 

@@ -115,7 +115,11 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle,
             # fwd+bwd at all benchmark shapes (FLASH_AB.json). Defaulted on
             # in the L=1024 ZINC configs; the synthetic configs keep XLA
             # attention (≈5% of epoch) for attention-prob dropout parity.
-            use_flash=bool(model_cfg.get("use_flash", False)),
+            # platform gate: Pallas kernels only lower on TPU — on CPU/GPU
+            # backends (tests, smokes) fall back to the bit-equivalent XLA
+            # attention instead of failing to compile
+            use_flash=bool(model_cfg.get("use_flash", False))
+            and jax.default_backend() == "tpu",
             compute_dtype=model_cfg.get("compute_dtype", "bfloat16"),
             # sequence-parallel ring attention over the mesh's 'seq' axis
             # (parallel.seq_shards > 1); flash and SP are mutually

