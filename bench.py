@@ -120,19 +120,20 @@ def main() -> None:
         from glearning_benchmark_tpu.native import (
             available as native_ok, sent_tokenize_batch_native)
         from glearning_benchmark_tpu.tokenization.sent import TrailTokenizer
-        sub_s = mols[:2000]
         tokz = TrailTokenizer(max_length=max_len, truncation_length=max_len,
                               labeled_graph=True)
-        tokz.set_num_nodes(max(m.num_nodes for m in sub_s))
+        tokz.set_num_nodes(max(m.num_nodes for m in mols))
         tokz.set_num_node_and_edge_types(9, 4)
         if native_ok():
-            t0 = time.perf_counter()
-            sent_tokenize_batch_native(
-                sub_s, tokz.idx_offset, max_len, labeled=True,
-                node_idx_offset=tokz.node_idx_offset,
-                edge_idx_offset=tokz.edge_idx_offset)
-            t_sent = time.perf_counter() - t0
-            sent_line = f" sent_native={len(sub_s) / t_sent:.0f} g/s"
+            t_sent = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sent_tokenize_batch_native(
+                    mols, tokz.idx_offset, max_len, labeled=True,
+                    node_idx_offset=tokz.node_idx_offset,
+                    edge_idx_offset=tokz.edge_idx_offset)
+                t_sent = min(t_sent, time.perf_counter() - t0)
+            sent_line = f" sent_native={n / t_sent:.0f} g/s"
     except Exception:
         pass
 

@@ -368,27 +368,43 @@ def sent_tokenize_batch_native(
     if lib is None:
         raise RuntimeError("native library unavailable")
     b = len(graphs)
-    n_edges = np.asarray([g.edges.shape[0] for g in graphs], dtype=np.int64)
-    edge_off = np.zeros(b + 1, dtype=np.int64)
-    np.cumsum(n_edges, out=edge_off[1:])
-    if edge_off[-1]:
-        src = np.ascontiguousarray(
-            np.concatenate([g.edges[:, 0] for g in graphs]).astype(np.int32))
-        dst = np.ascontiguousarray(
-            np.concatenate([g.edges[:, 1] for g in graphs]).astype(np.int32))
-        elab = np.ascontiguousarray(np.concatenate([
-            g.edge_labels if g.edge_labels is not None
-            else np.ones(g.edges.shape[0], np.int32) for g in graphs]).astype(np.int32))
+    # a GraphCorpus carries its flat struct-of-arrays form — reuse it
+    # (spot-checked) instead of re-concatenating per-graph arrays
+    flat = getattr(graphs, "flat", None)
+    if flat is not None:
+        from ..tokenization.ibtt_fast import _corpus_flat_matches
+        if not _corpus_flat_matches(flat, graphs):
+            flat = None
+    if flat is not None:
+        edge_off = _flat_as(flat, "edge_off", np.int64)
+        node_off = _flat_as(flat, "node_off", np.int64)
+        src = _flat_as(flat, "src", np.int32)
+        dst = _flat_as(flat, "dst", np.int32)
+        elab = _flat_as(flat, "bond", np.int32)
+        num_nodes = _flat_as(flat, "n_nodes", np.int32)
+        nlab = _flat_as(flat, "atoms", np.int32) if labeled else np.zeros(0, np.int32)
     else:
-        src = dst = elab = np.zeros(0, dtype=np.int32)
-    num_nodes = np.asarray([g.num_nodes for g in graphs], dtype=np.int32)
-    node_off = np.zeros(b + 1, dtype=np.int64)
-    np.cumsum(num_nodes.astype(np.int64), out=node_off[1:])
-    if labeled:
-        nlab = np.ascontiguousarray(
-            np.concatenate([g.node_labels for g in graphs]).astype(np.int32))
-    else:
-        nlab = np.zeros(0, dtype=np.int32)
+        n_edges = np.asarray([g.edges.shape[0] for g in graphs], dtype=np.int64)
+        edge_off = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum(n_edges, out=edge_off[1:])
+        if edge_off[-1]:
+            src = np.ascontiguousarray(
+                np.concatenate([g.edges[:, 0] for g in graphs]).astype(np.int32))
+            dst = np.ascontiguousarray(
+                np.concatenate([g.edges[:, 1] for g in graphs]).astype(np.int32))
+            elab = np.ascontiguousarray(np.concatenate([
+                g.edge_labels if g.edge_labels is not None
+                else np.ones(g.edges.shape[0], np.int32) for g in graphs]).astype(np.int32))
+        else:
+            src = dst = elab = np.zeros(0, dtype=np.int32)
+        num_nodes = np.asarray([g.num_nodes for g in graphs], dtype=np.int32)
+        node_off = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum(num_nodes.astype(np.int64), out=node_off[1:])
+        if labeled:
+            nlab = np.ascontiguousarray(
+                np.concatenate([g.node_labels for g in graphs]).astype(np.int32))
+        else:
+            nlab = np.zeros(0, dtype=np.int32)
     out = np.empty((b, trunc_len), dtype=np.int32)
     lens = np.empty(b, dtype=np.int32)
     rc = lib.gtok_sent_tokenize_batch(

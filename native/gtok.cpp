@@ -62,7 +62,8 @@ void parallel_for_shards(int64_t n, int threads, F&& body) {
 }
 
 struct Vocab {
-  std::unordered_map<std::string, int32_t> map;
+  std::string blob;  // owns the token bytes; map keys view into it
+  std::unordered_map<std::string_view, int32_t> map;
 };
 
 }  // namespace
@@ -76,9 +77,12 @@ extern "C" {
 void* gtok_vocab_create(const char* tokens, const int64_t* offs, int32_t n,
                         const int32_t* ids) {
   auto* v = new Vocab();
+  v->blob.assign(tokens, tokens + offs[n]);
   v->map.reserve(static_cast<size_t>(n) * 2);
   for (int32_t i = 0; i < n; ++i) {
-    v->map.emplace(std::string(tokens + offs[i], tokens + offs[i + 1]), ids[i]);
+    v->map.emplace(std::string_view(v->blob.data() + offs[i],
+                                    static_cast<size_t>(offs[i + 1] - offs[i])),
+                   ids[i]);
   }
   return v;
 }
@@ -97,24 +101,30 @@ int32_t gtok_encode_texts(const void* vocab, const char* buf,
                           int32_t max_len, int32_t pad_id, int32_t strip_label,
                           int32_t* out_ids, int32_t* out_lens) {
   const auto& map = static_cast<const Vocab*>(vocab)->map;
-  for (int32_t t = 0; t < n_texts; ++t) {
-    const char* p = buf + text_offs[t];
-    const char* end = buf + text_offs[t + 1];
-    int32_t* row = out_ids + static_cast<int64_t>(t) * max_len;
-    int32_t len = 0;
-    while (p < end && len < max_len) {
-      while (p < end && (*p == ' ' || *p == '\n' || *p == '\t')) ++p;
-      const char* start = p;
-      while (p < end && *p != ' ' && *p != '\n' && *p != '\t') ++p;
-      if (p == start) break;
-      std::string tok(start, p);
-      auto it = map.find(tok);
-      row[len++] = (it == map.end()) ? pad_id : it->second;
-      if (strip_label && tok.size() == 3 && tok == "<p>") break;
-    }
-    out_lens[t] = len;
-    for (int32_t i = len; i < max_len; ++i) row[i] = pad_id;
-  }
+  // texts are independent and the vocab map is read-only: shard across
+  // threads (disjoint output rows, deterministic)
+  parallel_for_shards(
+      n_texts, n_gtok_threads(n_texts, /*min_per_thread=*/1024),
+      [&](int64_t lo, int64_t hi) {
+        for (int64_t t = lo; t < hi; ++t) {
+          const char* p = buf + text_offs[t];
+          const char* end = buf + text_offs[t + 1];
+          int32_t* row = out_ids + t * max_len;
+          int32_t len = 0;
+          while (p < end && len < max_len) {
+            while (p < end && (*p == ' ' || *p == '\n' || *p == '\t')) ++p;
+            const char* start = p;
+            while (p < end && *p != ' ' && *p != '\n' && *p != '\t') ++p;
+            if (p == start) break;
+            const std::string_view tok(start, static_cast<size_t>(p - start));
+            auto it = map.find(tok);
+            row[len++] = (it == map.end()) ? pad_id : it->second;
+            if (strip_label && tok == "<p>") break;
+          }
+          out_lens[t] = len;
+          for (int32_t i = len; i < max_len; ++i) row[i] = pad_id;
+        }
+      });
   return 0;
 }
 
@@ -242,19 +252,25 @@ int32_t gtok_sent_tokenize_batch(
     int32_t idx_offset, int32_t node_idx_offset, int32_t edge_idx_offset,
     int32_t trunc_len, int32_t pad_id, int32_t* out_tokens,
     int32_t* out_lens) {
-  std::vector<int32_t> buf;
-  for (int32_t g = 0; g < n_graphs; ++g) {
-    int64_t es = edge_off[g], ee = edge_off[g + 1];
-    const int32_t* gl = (labeled && nlab) ? nlab + node_off[g] : nullptr;
-    sent_one(src + es, dst + es, elab ? elab + es : nullptr, ee - es,
-             num_nodes[g], gl, labeled, idx_offset, node_idx_offset,
-             edge_idx_offset, trunc_len, buf);
-    int32_t* row = out_tokens + static_cast<int64_t>(g) * trunc_len;
-    int32_t len = static_cast<int32_t>(buf.size());
-    std::memcpy(row, buf.data(), sizeof(int32_t) * len);
-    for (int32_t i = len; i < trunc_len; ++i) row[i] = pad_id;
-    out_lens[g] = len;
-  }
+  // per-graph Hierholzer walks are independent; shard graphs across threads
+  // (disjoint output rows, deterministic — the walk itself is seed-free)
+  parallel_for_shards(
+      n_graphs, n_gtok_threads(n_graphs, /*min_per_thread=*/256),
+      [&](int64_t lo, int64_t hi) {
+        std::vector<int32_t> buf;
+        for (int64_t g = lo; g < hi; ++g) {
+          int64_t es = edge_off[g], ee = edge_off[g + 1];
+          const int32_t* gl = (labeled && nlab) ? nlab + node_off[g] : nullptr;
+          sent_one(src + es, dst + es, elab ? elab + es : nullptr, ee - es,
+                   num_nodes[g], gl, labeled, idx_offset, node_idx_offset,
+                   edge_idx_offset, trunc_len, buf);
+          int32_t* row = out_tokens + g * trunc_len;
+          int32_t len = static_cast<int32_t>(buf.size());
+          std::memcpy(row, buf.data(), sizeof(int32_t) * len);
+          for (int32_t i = len; i < trunc_len; ++i) row[i] = pad_id;
+          out_lens[g] = len;
+        }
+      });
   return 0;
 }
 
