@@ -11,6 +11,14 @@ contiguously with parallel/data.py; the vocab build all-gathers per-shard
 dynamic tokens and is id-identical to the single-process build
 (parallel/multiproc.py).
 
+Scaling mode: WEAK — ``--mols`` is the per-host shard and the corpus grows
+with the fleet (a real pod pipeline's regime: each host tokenizes its own
+shard at full rate, the collective step is the only cross-host cost).
+Every simulated host is pinned to one native thread (GTOK_THREADS=1)
+because the N processes share this box's cores and DRAM; on a real pod
+each host has its own, so per-host efficiency here is a LOWER bound
+(shared memory bus at N=4).
+
     python tools/scaling_bench.py [--mols 40000] [--out SCALING.json]
 
 Writes a scaling table (throughput + efficiency vs N=1) to --out and
@@ -64,6 +72,14 @@ def child_main(pid: int, nproc: int, port: int, n_mols: int, reps: int) -> None:
     stream_bytes = sum(len(tokenize_zinc_molecule(m, max_len=1024).encode())
                        for m in mols)
 
+    # freeze the (large, static) molecule heap and disable the cyclic GC for
+    # the timed region: with 10^5+ Graph objects a collection pass landing
+    # mid-phase in ONE process skews the cross-N efficiency comparison
+    import gc
+    gc.collect()
+    gc.freeze()
+    gc.disable()
+
     # measured phases, barrier-aligned; best-of-reps like bench.py
     t_vocab = float("inf")
     t_tok = float("inf")
@@ -96,13 +112,26 @@ def child_main(pid: int, nproc: int, port: int, n_mols: int, reps: int) -> None:
 
 def run_point(nproc: int, n_mols: int, reps: int, port: int) -> dict:
     procs = []
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    # one native thread per simulated host: on a real pod every host has its
+    # own cores, but here N processes share this box's 4 — letting each spawn
+    # hardware_concurrency threads would oversubscribe at N>1 and report
+    # false sublinearity. GTOK_THREADS=1 isolates process scaling.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               GTOK_THREADS="1")
+    n_cores = os.cpu_count() or 1
     for pid in range(nproc):
+        cmd = [sys.executable, os.path.abspath(__file__), "--child",
+               "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
+               "--mols", str(n_mols), "--reps", str(reps)]
+        if nproc <= n_cores:
+            # pin each simulated host to its own core (scheduler migrations
+            # between barrier-aligned phases otherwise add cross-host jitter
+            # that the max-over-hosts step time amplifies); count DOWN from
+            # the last core so small-N points avoid core 0, where the
+            # orchestrating parent and any session daemons land
+            cmd = ["taskset", "-c", str((n_cores - 1 - pid) % n_cores)] + cmd
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
-             "--mols", str(n_mols), "--reps", str(reps)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=REPO))
     outs = []
     for p in procs:
@@ -120,6 +149,11 @@ def run_point(nproc: int, n_mols: int, reps: int, port: int) -> dict:
             "tokenize_graphs_per_sec": total_mols / t_tok,
             "vocab_bytes_per_sec": total_bytes / t_vocab,
             "t_tok_s": t_tok, "t_vocab_s": t_vocab,
+            # per-host spread: on this box the host sharing its core with
+            # the orchestrating parent is a straggler the barrier amplifies
+            # (max gates the step); a real pod has no such co-tenant
+            "t_tok_per_host": [o["t_tok"] for o in outs],
+            "t_vocab_per_host": [o["t_vocab"] for o in outs],
             "vocab_size": sizes.pop()}
 
 
@@ -129,8 +163,11 @@ def main() -> None:
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--nproc", type=int, default=1)
     ap.add_argument("--port", type=int, default=29531)
-    ap.add_argument("--mols", type=int, default=40000)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--mols", type=int, default=40000,
+                    help="molecules per host (weak scaling: the corpus grows "
+                         "with the fleet, per-host shard stays fixed — the "
+                         "regime a real pod data pipeline runs in)")
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--hosts", default="1,2,4")
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args()
@@ -141,7 +178,7 @@ def main() -> None:
 
     points = []
     for i, n in enumerate(int(x) for x in args.hosts.split(",")):
-        pt = run_point(n, args.mols, args.reps, args.port + i)
+        pt = run_point(n, args.mols * n, args.reps, args.port + i)
         points.append(pt)
         print(f"N={pt['n_hosts']}: tokenize {pt['tokenize_graphs_per_sec']:,.0f} g/s"
               f" | vocab {pt['vocab_bytes_per_sec'] / 1e6:,.1f} MB/s"
