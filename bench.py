@@ -82,6 +82,11 @@ def main() -> None:
     for _ in range(reps):
         t0 = time.perf_counter()
         flat = flatten_zinc_corpus(mols)
+        # every rep pays the full pipeline: strip the per-corpus caches
+        # (lexsorted gate verdict, l_max sizing, dtype conversions) that the
+        # carried flat accumulates, so t_fast is what a fresh corpus costs
+        # once — only the flat STORAGE layout is reused (see docstring)
+        flat = {k: v for k, v in flat.items() if not k.startswith("_")}
         vocab = build_zinc_vocab_fast(mols, flat=flat)
         ids, lens = corpus_ids_best(mols, vocab, max_len=max_len, flat=flat)
         packed, mask = pack_corpus(ids, lens, pad_id=vocab["<pad>"])

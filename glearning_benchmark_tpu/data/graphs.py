@@ -78,6 +78,11 @@ class GraphCorpus(list):
     ``flatten_zinc_corpus`` reuses ``flat`` (after a spot-check) instead of
     re-concatenating 10k small arrays. Plain-list slices of a corpus drop
     the attribute and fall back to the concatenating path.
+
+    Contract: the corpus is immutable after load — Graph itself is a frozen
+    dataclass, and replacing a list element desyncs it from ``flat`` (the
+    spot-check samples eight indices and catches truncation/reorder and
+    most replacements; to derive a modified corpus, build a plain list).
     """
 
     flat: Optional[dict] = None

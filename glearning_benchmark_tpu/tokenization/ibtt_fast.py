@@ -38,20 +38,29 @@ from .vocab import build_fixed_zinc_vocab, extend_vocab_with_dynamic_tokens
 # ---------------------------------------------------------------------------
 
 def _corpus_flat_matches(flat: Dict[str, np.ndarray], mols: Sequence[Graph]) -> bool:
-    """Spot-check that a corpus-carried flat form still describes `mols`
-    (guards against post-load mutation / truncation desync): length plus a
-    full field compare on first/middle/last molecules."""
+    """Spot-check that a corpus-carried flat form still describes `mols`:
+    length plus a full field compare (incl. edge labels) at eight evenly
+    spread sample indices. Graph is a frozen dataclass, so the corpus's
+    molecules are immutable; the hazard this guards is *element replacement*
+    or truncation after load, which the samples catch with high probability
+    (single-element replacement at a non-sampled index is the caller's
+    contract violation — GraphCorpus documents the corpus as immutable)."""
     if flat is None or flat["n_nodes"].shape[0] != len(mols) or not len(mols):
         return flat is not None and len(mols) == 0 and flat["n_nodes"].size == 0
     no, eo = flat["node_off"], flat["edge_off"]
-    for i in {0, len(mols) // 2, len(mols) - 1}:
+    b = len(mols)
+    samples = {0, b - 1} | {(k * (b - 1)) // 7 for k in range(1, 7)}
+    for i in samples:
         m = mols[i]
         ns, ne = int(no[i]), int(no[i + 1])
         es, ee = int(eo[i]), int(eo[i + 1])
+        el = (m.edge_labels if m.edge_labels is not None
+              else np.ones(m.edges.shape[0], np.int64))
         if (ne - ns != m.num_nodes or ee - es != m.edges.shape[0]
                 or not np.array_equal(flat["atoms"][ns:ne], m.node_labels)
                 or not np.array_equal(flat["src"][es:ee], m.edges[:, 0])
                 or not np.array_equal(flat["dst"][es:ee], m.edges[:, 1])
+                or not np.array_equal(flat["bond"][es:ee], el)
                 or flat["y"][i] != m.y):
             return False
     return True

@@ -357,23 +357,31 @@ int32_t gtok_zinc_vocab_stream(
   // snprintf dominates the sequential loop's cost and is per-molecule
   // independent; the dedup pass below stays sequential (first-occurrence
   // order is the contract).
-  constexpr int kLabW = 40;
+  constexpr int kLabW = 72;  // "val_" + rewritten %.2f fits for |y| < ~1e64;
+                             // wider labels are DETECTED (not truncated) and
+                             // error out -> caller falls back to exact path
   std::vector<char> lab(static_cast<size_t>(n_mols) * kLabW);
+  std::atomic<bool> lab_overflow{false};
   parallel_for_shards(n_mols, n_gtok_threads(n_mols), [&](int64_t lo, int64_t hi) {
-    char buf[64];
+    char buf[512];
     for (int64_t mol = lo; mol < hi; ++mol) {
       std::snprintf(buf, sizeof(buf), "%.2f", y[mol]);
       char* s = lab.data() + mol * kLabW;
       int k = 0;
       s[k++] = 'v'; s[k++] = 'a'; s[k++] = 'l'; s[k++] = '_';
-      for (const char* p = buf; *p && k < kLabW - 4; ++p) {
+      const char* p = buf;
+      for (; *p && k < kLabW - 4; ++p) {
         if (*p == '.') s[k++] = '_';
         else if (*p == '-') { s[k++] = 'n'; s[k++] = 'e'; s[k++] = 'g'; }
         else s[k++] = *p;
       }
+      if (*p) lab_overflow.store(true, std::memory_order_relaxed);
       s[k] = '\0';
     }
   });
+  // a label wider than the stride would be silently truncated (and could
+  // collide); error out so the caller falls back to the exact string path
+  if (lab_overflow.load()) return -1;
 
   // phase 2 (sequential): dedup/emit in first-occurrence order. Node codes
   // dedup through a flat byte table (codes are <= max_nodes); label codes
@@ -385,7 +393,12 @@ int32_t gtok_zinc_vocab_stream(
   int32_t n_out = 0;
   int64_t blob_len = 0;
 
+  const int64_t seen_cap = static_cast<int64_t>(seen_node.size());
   auto emit_node = [&](int64_t code) -> bool {
+    // bounds-check: the lexsorted gate validates ordering, not index range —
+    // an out-of-range node id must error (caller falls back to the exact
+    // Python path) instead of indexing past the table
+    if (code < 0 || code >= seen_cap) return false;
     if (seen_node[code]) return true;
     seen_node[code] = 1;
     if (n_out >= out_codes_cap) return false;
@@ -438,6 +451,7 @@ void gtok_pack_ids(const int32_t* ids, const int32_t* lens,
       uint8_t* mrow = mask + i * l_bucket;
       int32_t k = lens[i];
       if (k > l_bucket) k = l_bucket;
+      if (k < 0) k = 0;  // numpy semantics: negative length -> all-False row
       std::memset(mrow, 1, k);
       std::memset(mrow + k, 0, l_bucket - k);
     }

@@ -180,10 +180,25 @@ def test_corpus_carried_flat_mutation_falls_back():
     """If a molecule no longer matches the carried flat (post-load mutation),
     the spot-check must reject it and flatten must recompute."""
     corpus = load_zinc_split(split="val", limit=50)
-    mid = len(corpus) // 2
-    g = corpus[mid]
-    corpus[mid] = Graph(edges=g.edges, num_nodes=g.num_nodes, y=g.y + 1.0,
+    # one of the eight spot-check sample indices (k=3 of 7 spread points)
+    idx = (len(corpus) - 1) * 3 // 7
+    g = corpus[idx]
+    corpus[idx] = Graph(edges=g.edges, num_nodes=g.num_nodes, y=g.y + 1.0,
                         node_labels=g.node_labels, edge_labels=g.edge_labels)
     flat = flatten_zinc_corpus(corpus)
     assert flat is not corpus.flat
-    assert flat["y"][mid] == g.y + 1.0
+    assert flat["y"][idx] == g.y + 1.0
+
+
+def test_corpus_carried_flat_edge_label_mutation_falls_back():
+    """Replacing a sampled molecule with one differing ONLY in edge labels
+    must defeat the spot-check (bond types feed the tokenization)."""
+    corpus = load_zinc_split(split="val", limit=50)
+    g = corpus[-1]
+    new_el = g.edge_labels.copy()
+    new_el[0] = (new_el[0] % 4) + 1  # different valid bond type
+    corpus[-1] = Graph(edges=g.edges, num_nodes=g.num_nodes, y=g.y,
+                       node_labels=g.node_labels, edge_labels=new_el)
+    flat = flatten_zinc_corpus(corpus)
+    assert flat is not corpus.flat
+    assert flat["bond"][-1] == new_el[-1]

@@ -220,16 +220,55 @@ def test_pack_ids_native_matches_numpy():
     assert mask.dtype == bool
 
 
-def test_zinc_encode_native_threaded_deterministic():
-    """The threaded molecule shards write disjoint rows: repeated runs and
-    GTOK_THREADS=1 (same process pool helper, forced sequential via a tiny
-    shard threshold) agree bit-for-bit."""
+def test_zinc_encode_native_threaded_matches_sequential(monkeypatch):
+    """The threaded molecule shards write disjoint rows: GTOK_THREADS=4 must
+    be bit-identical to GTOK_THREADS=1 (n_gtok_threads reads the env per
+    call via std::getenv, and os.environ writes putenv through to C)."""
     from glearning_benchmark_tpu.tokenization.ibtt_fast import (
         build_zinc_vocab_fast, flatten_zinc_corpus)
     mols = load_zinc_split(split="val", limit=200)
     flat = flatten_zinc_corpus(list(mols))
     vocab = build_zinc_vocab_fast(mols, flat=flat)
-    a = native.zinc_encode_native(flat, vocab, max_len=1024)
-    b = native.zinc_encode_native(flat, vocab, max_len=1024)
+    monkeypatch.setenv("GTOK_THREADS", "4")
+    # min_per_thread would force 1 thread at only 200 mols; replicate the
+    # corpus so the pool really shards (shard boundaries land mid-corpus)
+    big = list(mols) * 40
+    big_flat = flatten_zinc_corpus(big)
+    a = native.zinc_encode_native(dict(big_flat), vocab, max_len=1024)
+    s1 = native.zinc_vocab_stream_native(dict(big_flat))
+    monkeypatch.setenv("GTOK_THREADS", "1")
+    b = native.zinc_encode_native(dict(big_flat), vocab, max_len=1024)
+    s2 = native.zinc_vocab_stream_native(dict(big_flat))
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(s1[0], s2[0])
+    assert s1[1] == s2[1]
+
+
+def test_pack_ids_native_negative_length():
+    """Negative lens must clamp to an all-False mask row (numpy semantics:
+    arange < negative is all False), never a giant memset."""
+    ids = np.arange(12, dtype=np.int32).reshape(2, 6)
+    lens = np.array([-3, 4], dtype=np.int32)
+    out, mask = native.pack_ids_native(ids, lens, 8, pad_id=0)
+    assert not mask[0].any()
+    assert mask[1, :4].all() and not mask[1, 4:].any()
+
+
+def test_zinc_vocab_stream_out_of_range_node_errors():
+    """An edge referencing a node index beyond the corpus max must error
+    (python wrapper raises; callers fall back to the exact path) instead of
+    indexing past the dedup table."""
+    flat = {
+        "n_nodes": np.array([3], dtype=np.int64),
+        "n_edges": np.array([2], dtype=np.int64),
+        "node_off": np.array([0, 3], dtype=np.int64),
+        "edge_off": np.array([0, 2], dtype=np.int64),
+        "atoms": np.zeros(3, dtype=np.int64),
+        "src": np.array([0, 1], dtype=np.int64),
+        "dst": np.array([99, 2], dtype=np.int64),  # 99 >> max_nodes
+        "bond": np.ones(2, dtype=np.int64),
+        "y": np.zeros(1, dtype=np.float64),
+    }
+    with pytest.raises(RuntimeError):
+        native.zinc_vocab_stream_native(flat)
