@@ -54,6 +54,10 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
 
 
 def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+    if path.endswith(".npz"):
+        # checkpoints are a <stem>.npz + <stem>.json pair; accept either the
+        # stem or the .npz filename a user tab-completes (CLI --checkpoint)
+        path = path[: -len(".npz")]
     if not os.path.isfile(path + ".npz"):
         return None
     z = np.load(path + ".npz")

@@ -663,7 +663,13 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     best_val = float("inf") if task == "zinc" else -1.0
     start_epoch = 1
     if train_cfg.get("resume"):
-        ckpt = load_checkpoint(os.path.join(out_dir, f"best_{run_name}"))
+        # train.resume_path overrides the default out_dir/best_<run> location
+        # (CLI --checkpoint; lets eval-only score an arbitrary checkpoint)
+        ckpt_path = (train_cfg.get("resume_path")
+                     or os.path.join(out_dir, f"best_{run_name}"))
+        ckpt = load_checkpoint(ckpt_path)
+        if ckpt is None and verbose:
+            print(f"[warn] no checkpoint at {ckpt_path}; starting fresh")
         if ckpt is not None and ckpt.get("params") is not None:
             params = put_params(jax.tree.map(jnp.asarray, ckpt["params"]))
             if ckpt.get("batch_stats") is not None:
@@ -814,6 +820,19 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     if best_params is not None:
         params = jax.tree.map(jnp.asarray, best_params)
         batch_stats = jax.tree.map(jnp.asarray, best_bs) if best_bs is not None else None
+
+    # eval-only (epochs=0 + resume): no epoch ran, so score the val split
+    # here — the in-loop val evaluation never executed
+    if epochs < start_epoch and best_params is not None and bundle.n("val"):
+        va_stats = eval_ep(params, batch_stats, dev_splits["val"],
+                           vidx_d, vvalid_d)
+        va = _epoch_metrics(va_stats, task, num_classes)
+        va_metric = va["mae"] if task == "zinc" else va["accuracy"]
+        logger.log({"val/loss": va["loss"],
+                    ("val/mae" if task == "zinc" else "val/acc"): va_metric})
+        if verbose:
+            name = "mae" if task == "zinc" else "acc"
+            print(f"eval-only | val {va['loss']:.4f}/{name}={va_metric:.4f}")
     if bundle.n("test") == 0:
         # reference behavior: warn and continue (train_ibtt.py:346-347)
         print("[warn] No test examples found. Test metrics will be trivial.")

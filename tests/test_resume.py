@@ -89,3 +89,37 @@ def test_block_dispatch_best_epoch_is_exact(tmp_path):
     stats = eval_ep(params, None, arrays, jnp.asarray(vidx), jnp.asarray(vvalid))
     m = _epoch_metrics(stats, bundle.task, bundle.num_classes)
     assert abs(m["accuracy"] - ckpt["best_val"]) < 1e-6
+
+
+def test_eval_only_scores_checkpoint(tmp_path):
+    """epochs=0 + resume (the CLI --eval-only): no training, checkpoint
+    loaded, val + test scored; test metrics reproduce a fresh evaluation."""
+    root = tempfile.mkdtemp()
+    out = str(tmp_path)
+    res1 = train(_cfg(root, out, epochs=3), "ibtt", verbose=False)
+    cfg = _cfg(root, out, epochs=0, resume=True)
+    res2 = train(cfg, "ibtt", verbose=False)
+    assert len(res2.history) == 0          # nothing trained
+    assert res2.best_val == res1.best_val  # checkpoint's val metric restored
+    for k, v in res1.test_metrics.items():
+        if isinstance(v, float):
+            assert abs(res2.test_metrics[k] - v) < 1e-6, k
+
+
+def test_eval_only_explicit_checkpoint_path(tmp_path):
+    """train.resume_path (CLI --checkpoint) scores an arbitrary checkpoint
+    file, independent of out_dir/run_name."""
+    import os
+    import shutil
+
+    root = tempfile.mkdtemp()
+    out = str(tmp_path / "a")
+    train(_cfg(root, out, epochs=2), "ibtt", verbose=False)
+    # checkpoints are a <stem>.npz + <stem>.json pair; move both, address by
+    # the .npz filename (load_checkpoint accepts stem or .npz)
+    shutil.move(os.path.join(out, "best_r.npz"), str(tmp_path / "elsewhere.npz"))
+    shutil.move(os.path.join(out, "best_r.json"), str(tmp_path / "elsewhere.json"))
+    cfg = _cfg(root, str(tmp_path / "b"), epochs=0, resume=True)
+    cfg["train"]["resume_path"] = str(tmp_path / "elsewhere.npz")
+    res = train(cfg, "ibtt", verbose=False)
+    assert res.best_val > 0

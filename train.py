@@ -29,6 +29,15 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=None, help="override train.epochs")
     ap.add_argument("--limit", type=int, default=None,
                     help="cap examples per split (smoke runs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the best checkpoint (params + optimizer "
+                         "state + schedule step)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="no training: load the best checkpoint and score "
+                         "the val and test splits")
+    ap.add_argument("--checkpoint", default=None,
+                    help="explicit checkpoint path for --resume/--eval-only "
+                         "(default: <output.dir>/best_<run_name>)")
     args = ap.parse_args()
 
     config_path = args.config or MODEL_DEFAULT_CONFIGS[args.model]
@@ -41,6 +50,12 @@ def main() -> None:
     config = normalize_config(load_config(config_path))
     if args.epochs is not None:
         config["train"]["epochs"] = args.epochs
+    if args.resume or args.eval_only:
+        config["train"]["resume"] = True
+    if args.eval_only:
+        config["train"]["epochs"] = 0
+    if args.checkpoint:
+        config["train"]["resume_path"] = args.checkpoint
 
     print(f"Loaded config from: {config_path}")
     print(f"Task: {config['dataset']['task']} | Model: {args.model}")
