@@ -79,7 +79,7 @@ def main() -> None:
     # ratio is reproducible run-to-run (VERDICT r1 weak #5).
     reps = 5
     t_fast = float("inf")
-    for _ in range(reps):
+    for rep in range(reps + 1):  # rep 0 is an untimed warm-up (see below)
         t0 = time.perf_counter()
         flat = flatten_zinc_corpus(mols)
         # every rep pays the full pipeline: strip the per-corpus caches
@@ -90,7 +90,14 @@ def main() -> None:
         vocab = build_zinc_vocab_fast(mols, flat=flat)
         ids, lens = corpus_ids_best(mols, vocab, max_len=max_len, flat=flat)
         packed, mask = pack_corpus(ids, lens, pad_id=vocab["<pad>"])
-        t_fast = min(t_fast, time.perf_counter() - t0)
+        # rep 0 is untimed: on this VM the first touch of each fresh ~40MB
+        # output buffer page-faults at ~45MB/s (0.9s cold vs 8ms warm), and
+        # the allocator takes a few reps to stabilize block reuse — host
+        # noise, not algorithm cost; the per-corpus *algorithmic* caches are
+        # still stripped every rep above, so each timed rep is a fresh-corpus
+        # measurement
+        if rep > 0:
+            t_fast = min(t_fast, time.perf_counter() - t0)
     graphs_per_sec = n / t_fast
 
     # vocab-build bytes/s (text bytes the string-path scan would process)
@@ -130,8 +137,16 @@ def main() -> None:
         tokz.set_num_nodes(max(m.num_nodes for m in mols))
         tokz.set_num_node_and_edge_types(9, 4)
         if native_ok():
+            # one untimed warm-up: on this VM the first touch of each fresh
+            # ~40MB output buffer page-faults at ~45MB/s (0.9s) while warm
+            # reuse costs ~8ms — host-allocator noise, not algorithm cost,
+            # so it must not leak into a best-of measurement
+            sent_tokenize_batch_native(
+                mols, tokz.idx_offset, max_len, labeled=True,
+                node_idx_offset=tokz.node_idx_offset,
+                edge_idx_offset=tokz.edge_idx_offset)
             t_sent = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 sent_tokenize_batch_native(
                     mols, tokz.idx_offset, max_len, labeled=True,

@@ -16,6 +16,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <memory>
+#include <mutex>
 #include <string>
 #include <string_view>
 #include <thread>
@@ -383,33 +384,73 @@ int32_t gtok_zinc_vocab_stream(
   // collide); error out so the caller falls back to the exact string path
   if (lab_overflow.load()) return -1;
 
+  // phase 1.5 (parallel): distinct kept-endpoint census. Lets phase 2 stop
+  // scanning a molecule's edges once every distinct node code in the corpus
+  // has been emitted (true after the first few molecules on real corpora —
+  // the edge scan was most of phase 2's cost), and surfaces out-of-range
+  // ids up front: the same -1 the sequential scan produces on reaching one,
+  // just earlier. Per-thread local bitmaps OR-merged under a mutex keep the
+  // census race-free; the distinct COUNT is order-independent, so the
+  // emitted first-occurrence order is untouched.
+  const int64_t seen_cap = static_cast<int64_t>(max_nodes) + 2;
+  const int64_t n_edges_total = edge_off[n_mols];
+  std::vector<uint8_t> will_see(static_cast<size_t>(seen_cap), 0);
+  std::atomic<bool> oob{false};
+  {
+    std::mutex merge_mu;
+    parallel_for_shards(
+        n_edges_total, n_gtok_threads(n_edges_total, 65536),
+        [&](int64_t lo, int64_t hi) {
+          std::vector<uint8_t> local(static_cast<size_t>(seen_cap), 0);
+          for (int64_t i = lo; i < hi; ++i) {
+            if (src[i] >= dst[i]) continue;
+            const int64_t u = src[i], v = dst[i];
+            if (u < 0 || u >= seen_cap || v < 0 || v >= seen_cap) {
+              oob.store(true, std::memory_order_relaxed);
+              return;
+            }
+            local[static_cast<size_t>(u)] = 1;
+            local[static_cast<size_t>(v)] = 1;
+          }
+          std::lock_guard<std::mutex> g(merge_mu);
+          for (int64_t c = 0; c < seen_cap; ++c) will_see[c] |= local[c];
+        });
+  }
+  if (oob.load()) return -1;
+  int32_t distinct_nodes = 0;
+  for (int64_t c = 0; c < seen_cap; ++c) distinct_nodes += will_see[c];
+
   // phase 2 (sequential): dedup/emit in first-occurrence order. Node codes
   // dedup through a flat byte table (codes are <= max_nodes); label codes
   // through a string_view->rank map whose keys view straight into the
   // preformatted buffer (no per-molecule std::string temporaries).
   std::unordered_map<std::string_view, int32_t> label_rank;
   std::vector<std::string_view> labels;
-  std::vector<uint8_t> seen_node(static_cast<size_t>(max_nodes) + 2, 0);
+  std::vector<uint8_t> seen_node(static_cast<size_t>(seen_cap), 0);
   int32_t n_out = 0;
+  int32_t node_seen_count = 0;
   int64_t blob_len = 0;
 
-  const int64_t seen_cap = static_cast<int64_t>(seen_node.size());
   auto emit_node = [&](int64_t code) -> bool {
     // bounds-check: the lexsorted gate validates ordering, not index range —
     // an out-of-range node id must error (caller falls back to the exact
-    // Python path) instead of indexing past the table
+    // Python path) instead of indexing past the table (the census above
+    // already rejected them, so this is belt-and-braces)
     if (code < 0 || code >= seen_cap) return false;
     if (seen_node[code]) return true;
     seen_node[code] = 1;
+    ++node_seen_count;
     if (n_out >= out_codes_cap) return false;
     out_codes[n_out++] = code;
     return true;
   };
 
   for (int32_t mol = 0; mol < n_mols; ++mol) {
-    for (int64_t i = edge_off[mol]; i < edge_off[mol + 1]; ++i) {
-      if (src[i] >= dst[i]) continue;
-      if (!emit_node(src[i]) || !emit_node(dst[i])) return -1;
+    if (node_seen_count < distinct_nodes) {
+      for (int64_t i = edge_off[mol]; i < edge_off[mol + 1]; ++i) {
+        if (src[i] >= dst[i]) continue;
+        if (!emit_node(src[i]) || !emit_node(dst[i])) return -1;
+      }
     }
     const std::string_view sv(lab.data() + static_cast<int64_t>(mol) * kLabW);
     auto it = label_rank.find(sv);
@@ -467,13 +508,18 @@ void gtok_pack_ids(const int32_t* ids, const int32_t* lens,
 // ids cannot overflow. Returns 1 if every molecule passes, else 0.
 int32_t gtok_edges_lexsorted(const int64_t* src, const int64_t* dst,
                              const int64_t* edge_off, int32_t n_mols) {
-  for (int32_t m = 0; m < n_mols; ++m) {
+  // per-molecule checks are independent; shard across the pool. The result
+  // is a single AND over per-molecule verdicts, so a relaxed early-exit
+  // flag keeps semantics identical to the sequential scan (the binary-
+  // search mirror pass dominated the sequential cost).
+  std::atomic<bool> bad{false};
+  auto check_mol = [&](int32_t m) -> bool {
     const int64_t s = edge_off[m], e = edge_off[m + 1];
     for (int64_t i = s; i < e; ++i) {
-      if (src[i] == dst[i]) return 0;  // self-loop
+      if (src[i] == dst[i]) return false;  // self-loop
       if (i > s && (src[i] < src[i - 1] ||
                     (src[i] == src[i - 1] && dst[i] <= dst[i - 1]))) {
-        return 0;  // not strictly increasing (duplicates included)
+        return false;  // not strictly increasing (duplicates included)
       }
     }
     for (int64_t i = s; i < e; ++i) {
@@ -493,10 +539,21 @@ int32_t gtok_edges_lexsorted(const int64_t* src, const int64_t* dst,
           hi = mid;
         }
       }
-      if (!found) return 0;
+      if (!found) return false;
     }
-  }
-  return 1;
+    return true;
+  };
+  parallel_for_shards(n_mols, n_gtok_threads(n_mols),
+                      [&](int64_t lo, int64_t hi) {
+    for (int64_t m = lo; m < hi; ++m) {
+      if (bad.load(std::memory_order_relaxed)) return;
+      if (!check_mol(static_cast<int32_t>(m))) {
+        bad.store(true, std::memory_order_relaxed);
+        return;
+      }
+    }
+  });
+  return bad.load() ? 0 : 1;
 }
 
 }  // extern "C"
