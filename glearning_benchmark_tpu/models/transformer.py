@@ -98,6 +98,90 @@ class EncoderLayer(nn.Module):
         return nn.LayerNorm(name="norm2")((x + y).astype(jnp.float32))
 
 
+def transformer_embed(embed_fn, pos_fn, x, pos):
+    """Token + positional embedding prefix (shared by ``__call__`` and the
+    pipeline-parallel forward, parallel/pipeline.py — one definition so the
+    two paths cannot drift)."""
+    l = x.shape[1]
+    h = embed_fn(x)
+    pos_ids = jnp.arange(l)[None, :] if pos is None else pos
+    return h + pos_fn(pos_ids)
+
+
+def transformer_readout(norm, cls, h, x, attn_mask, *, d_model, task,
+                        use_query_nodes, bos_id, query_offsets,
+                        q_token_id=None, seg=None, pos_bos=None,
+                        pos_u=None, pos_v=None):
+    """Pooling + classifier readout after the encoder stack.
+
+    ``norm``/``cls`` are callables (bound submodules inside ``__call__``,
+    unbound ``.apply`` closures in the pipeline-parallel path). Unpacked
+    rows (seg=None): <bos> pooling with masked-mean fallback
+    (train_ibtt.py:114-120) and the vectorized '<q>' readout; packed rows:
+    host-precomputed per-slot gathers. Identical semantics to the inline
+    body this was extracted from."""
+    if seg is not None:
+        # packed readout: gather per-example slots [B, K] -> [B, K, d]
+        def take(idx):
+            return jnp.take_along_axis(
+                h, idx[:, :, None].repeat(d_model, -1), axis=1)
+
+        bos_emb = take(pos_bos)
+        if use_query_nodes:
+            u_emb = take(pos_u)
+            v_emb = take(pos_v)
+            # slot 0 is always a segment's <bos>, so 0 means "no query"
+            ok_u = (pos_u > 0)[..., None]
+            ok_v = (pos_v > 0)[..., None]
+            u_emb = jnp.where(ok_u, u_emb, jnp.zeros_like(u_emb))
+            v_emb = jnp.where(ok_v, v_emb, jnp.zeros_like(v_emb))
+            pooled = jnp.concatenate(
+                [norm(bos_emb), norm(u_emb), norm(v_emb)], axis=-1)
+        else:
+            pooled = norm(bos_emb)
+        out = cls(pooled)
+        if task == "zinc":
+            return out.squeeze(-1)
+        return out
+
+    l = x.shape[1]
+    # <bos> pooling with masked-mean fallback (train_ibtt.py:114-120)
+    maskf = attn_mask.astype(h.dtype)
+    lens = jnp.clip(maskf.sum(-1, keepdims=True), 1.0, None)
+    mean_emb = (h * maskf[..., None]).sum(1) / lens
+    all_bos = jnp.all(x[:, 0] == bos_id)
+    bos_emb = jnp.where(all_bos, h[:, 0], mean_emb)
+
+    if use_query_nodes and q_token_id is not None:
+        # vectorized '<q>' search: first match per row
+        is_q = (x == q_token_id) & attn_mask
+        found = jnp.any(is_q, axis=1)
+        q_pos = jnp.argmax(is_q, axis=1)
+        off_u, off_v = query_offsets
+        # bound against the example's TRUE length, not the padded row
+        # width — a sequence truncated inside its query tail must zero
+        # u/v exactly like the packed path does (tokenization/pack.py
+        # checks q+off_v < m), or train (packed) and eval (unpacked)
+        # would disagree on those examples
+        row_len = attn_mask.sum(axis=1)
+        in_range = found & (q_pos + off_v < row_len)
+        iu = jnp.clip(q_pos + off_u, 0, l - 1)
+        iv = jnp.clip(q_pos + off_v, 0, l - 1)
+        u_emb = jnp.take_along_axis(h, iu[:, None, None].repeat(d_model, -1), axis=1)[:, 0]
+        v_emb = jnp.take_along_axis(h, iv[:, None, None].repeat(d_model, -1), axis=1)[:, 0]
+        zero = jnp.zeros_like(u_emb)
+        u_emb = jnp.where(in_range[:, None], u_emb, zero)
+        v_emb = jnp.where(in_range[:, None], v_emb, zero)
+        pooled = jnp.concatenate([norm(bos_emb), norm(u_emb), norm(v_emb)], axis=-1)
+    else:
+        pooled = norm(bos_emb)
+
+    out = cls(pooled)
+    if task == "zinc":
+        return out.squeeze(-1)
+    return out
+
+
 class SimpleTransformer(nn.Module):
     vocab_size: int
     d_model: int = 256
@@ -137,12 +221,12 @@ class SimpleTransformer(nn.Module):
         behind a block-diagonal mask with segment-relative positions and
         host-precomputed readout slots, returns [B, K, C] — semantics per
         example are identical to the unpacked path."""
-        b, l = x.shape
-        h = nn.Embed(self.vocab_size, self.d_model, embedding_init=_TRUNC,
-                     name="embed")(x)
-        pos_ids = jnp.arange(l)[None, :] if pos is None else pos
-        h = h + nn.Embed(self.max_pos, self.d_model, embedding_init=_TRUNC,
-                         name="pos")(pos_ids)
+        h = transformer_embed(
+            nn.Embed(self.vocab_size, self.d_model, embedding_init=_TRUNC,
+                     name="embed"),
+            nn.Embed(self.max_pos, self.d_model, embedding_init=_TRUNC,
+                     name="pos"),
+            x, pos)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) if self.remat \
             else EncoderLayer
         cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -151,65 +235,11 @@ class SimpleTransformer(nn.Module):
                           self.use_flash, cdtype, self.sp_mesh,
                           name=f"layer_{i}")(h, attn_mask, deterministic, seg)
 
-        norm = nn.LayerNorm(name="norm")
-        cls = nn.Dense(self.num_classes, kernel_init=_TRUNC,
-                       bias_init=nn.initializers.zeros, name="cls")
-        if seg is not None:
-            # packed readout: gather per-example slots [B, K] -> [B, K, d]
-            def take(idx):
-                return jnp.take_along_axis(
-                    h, idx[:, :, None].repeat(self.d_model, -1), axis=1)
-
-            bos_emb = take(pos_bos)
-            if self.use_query_nodes:
-                u_emb = take(pos_u)
-                v_emb = take(pos_v)
-                # slot 0 is always a segment's <bos>, so 0 means "no query"
-                ok_u = (pos_u > 0)[..., None]
-                ok_v = (pos_v > 0)[..., None]
-                u_emb = jnp.where(ok_u, u_emb, jnp.zeros_like(u_emb))
-                v_emb = jnp.where(ok_v, v_emb, jnp.zeros_like(v_emb))
-                pooled = jnp.concatenate(
-                    [norm(bos_emb), norm(u_emb), norm(v_emb)], axis=-1)
-            else:
-                pooled = norm(bos_emb)
-            out = cls(pooled)
-            if self.task == "zinc":
-                return out.squeeze(-1)
-            return out
-
-        # <bos> pooling with masked-mean fallback (train_ibtt.py:114-120)
-        maskf = attn_mask.astype(h.dtype)
-        lens = jnp.clip(maskf.sum(-1, keepdims=True), 1.0, None)
-        mean_emb = (h * maskf[..., None]).sum(1) / lens
-        all_bos = jnp.all(x[:, 0] == self.bos_id)
-        bos_emb = jnp.where(all_bos, h[:, 0], mean_emb)
-
-        if self.use_query_nodes and q_token_id is not None:
-            # vectorized '<q>' search: first match per row
-            is_q = (x == q_token_id) & attn_mask
-            found = jnp.any(is_q, axis=1)
-            q_pos = jnp.argmax(is_q, axis=1)
-            off_u, off_v = self.query_offsets
-            # bound against the example's TRUE length, not the padded row
-            # width — a sequence truncated inside its query tail must zero
-            # u/v exactly like the packed path does (tokenization/pack.py
-            # checks q+off_v < m), or train (packed) and eval (unpacked)
-            # would disagree on those examples
-            row_len = attn_mask.sum(axis=1)
-            in_range = found & (q_pos + off_v < row_len)
-            iu = jnp.clip(q_pos + off_u, 0, l - 1)
-            iv = jnp.clip(q_pos + off_v, 0, l - 1)
-            u_emb = jnp.take_along_axis(h, iu[:, None, None].repeat(self.d_model, -1), axis=1)[:, 0]
-            v_emb = jnp.take_along_axis(h, iv[:, None, None].repeat(self.d_model, -1), axis=1)[:, 0]
-            zero = jnp.zeros_like(u_emb)
-            u_emb = jnp.where(in_range[:, None], u_emb, zero)
-            v_emb = jnp.where(in_range[:, None], v_emb, zero)
-            pooled = jnp.concatenate([norm(bos_emb), norm(u_emb), norm(v_emb)], axis=-1)
-        else:
-            pooled = norm(bos_emb)
-
-        out = cls(pooled)
-        if self.task == "zinc":
-            return out.squeeze(-1)
-        return out
+        return transformer_readout(
+            nn.LayerNorm(name="norm"),
+            nn.Dense(self.num_classes, kernel_init=_TRUNC,
+                     bias_init=nn.initializers.zeros, name="cls"),
+            h, x, attn_mask, d_model=self.d_model, task=self.task,
+            use_query_nodes=self.use_query_nodes, bos_id=self.bos_id,
+            query_offsets=self.query_offsets, q_token_id=q_token_id,
+            seg=seg, pos_bos=pos_bos, pos_u=pos_u, pos_v=pos_v)

@@ -21,14 +21,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(devices: Optional[Sequence] = None,
               data_axis: Optional[int] = None,
               model_axis: int = 1,
-              seq_shards: int = 1) -> Mesh:
+              seq_shards: int = 1,
+              pipe_stages: int = 1) -> Mesh:
     """Build a ('data', 'model') mesh — plus a trailing 'seq' axis when
     ``seq_shards`` > 1 (sequence-parallel ring attention,
-    ops/ring_attention.py). Defaults: all devices on 'data'."""
+    ops/ring_attention.py) or a 'pipe' axis when ``pipe_stages`` > 1
+    (GPipe stage pipeline, parallel/pipeline.py). Defaults: all devices
+    on 'data'."""
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
+    if pipe_stages > 1 and (model_axis > 1 or seq_shards > 1):
+        raise ValueError("pipe_stages composes with DP only (no TP/SP on "
+                         "the same mesh yet)")
     if data_axis is None:
-        data_axis = n // (model_axis * seq_shards)
+        data_axis = n // (model_axis * seq_shards * pipe_stages)
+    if pipe_stages > 1:
+        arr = np.array(devs).reshape(data_axis, pipe_stages)
+        return Mesh(arr, axis_names=("data", "pipe"))
     if seq_shards > 1:
         arr = np.array(devs).reshape(data_axis, model_axis, seq_shards)
         return Mesh(arr, axis_names=("data", "model", "seq"))
@@ -56,7 +65,7 @@ def param_shard_spec(mesh: Mesh, path, leaf) -> NamedSharding:
     and only shards when the feature dim divides the 'model' axis so GSPMD
     never sees a ragged split.
     """
-    tp = mesh.shape["model"]
+    tp = dict(mesh.shape).get("model", 1)  # ('data','pipe') meshes have no TP axis
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
     if (tp > 1 and leaf.ndim >= 2
             and ("embedding" in names or "kernel" in names)

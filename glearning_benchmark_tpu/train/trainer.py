@@ -187,12 +187,27 @@ def build_dataset(model_name: str, dataset_cfg: dict, seed: int,
 # jitted epoch machinery
 # ---------------------------------------------------------------------------
 
-def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rng):
+def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rng,
+                 pp=None):
     kwargs = {}
     if train:
         kwargs["rngs"] = {"dropout": rng}
     mutable = ["batch_stats"] if "batch_stats" in variables else False
     if bundle.kind == "tokens":
+        if pp is not None:
+            # pipeline-parallel forward (parallel/pipeline.py): same param
+            # tree, GPipe schedule over the mesh's 'pipe' axis
+            from ..parallel.pipeline import pp_transformer_forward
+            packed = "seg" in batch
+            out = pp_transformer_forward(
+                pp["mesh"], model, variables["params"],
+                batch["ids"], batch["seg"] > 0 if packed else batch["mask"],
+                q_token_id=bundle.q_token_id, deterministic=not train,
+                rng=rng if train else None, n_micro=pp["n_micro"],
+                seg=batch.get("seg"), pos=batch.get("pos"),
+                pos_bos=batch.get("pos_bos"), pos_u=batch.get("pos_u"),
+                pos_v=batch.get("pos_v"))
+            return out, None
         if "seg" in batch:
             # packed rows (K sequences per attention row, block-diagonal
             # mask): logits come back [B, K, C] / [B, K]
@@ -255,7 +270,8 @@ def _loss_and_stats(logits, y, valid, task: str, num_classes: int):
     return loss_sum / jnp.clip(count, 1.0), stats
 
 
-def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int):
+def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int,
+                   pp=None):
     """Build jitted (train_block, eval_epoch) closures.
 
     ``train_block`` runs K epochs in ONE dispatch: an outer lax.scan over
@@ -279,7 +295,7 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
                 variables = {"params": p}
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
-                logits, new_stats = _apply_model(model, variables, batch, bundle, True, drop)
+                logits, new_stats = _apply_model(model, variables, batch, bundle, True, drop, pp)
                 lg, y, lvalid = _loss_inputs(logits, batch, bvalid)
                 loss, stats = _loss_and_stats(lg, y, lvalid, task, num_classes)
                 return loss, (stats, new_stats)
@@ -310,7 +326,7 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
-            logits, _ = _apply_model(model, variables, batch, bundle, False, None)
+            logits, _ = _apply_model(model, variables, batch, bundle, False, None, pp)
             lg, y, lvalid = _loss_inputs(logits, batch, bvalid)
             _, stats = _loss_and_stats(lg, y, lvalid, task, num_classes)
             return carry, stats
@@ -527,8 +543,16 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         if packed_train:
             raise ValueError("parallel.seq_shards requires dataset.pack: "
                              "false (ring attention has no segment mask)")
+    # parallel.pipe_stages runs the encoder stack as a GPipe pipeline over
+    # a 'pipe' mesh axis (parallel/pipeline.py) — token transformers only
+    pipe_stages = int(parallel_cfg.get("pipe_stages", 1))
+    if pipe_stages > 1 and model_name not in ("ibtt", "agtt"):
+        raise ValueError("parallel.pipe_stages applies to the token "
+                         "transformers (ibtt/agtt); graph-native models "
+                         "have no layer pipeline")
     if mesh is None and len(jax.devices()) > 1:
-        mesh = make_mesh(model_axis=model_axis, seq_shards=seq_shards)
+        mesh = make_mesh(model_axis=model_axis, seq_shards=seq_shards,
+                         pipe_stages=pipe_stages)
     if mesh is not None and packed_train:
         da = int(mesh.shape["data"])
         train_bs = max(da, (train_bs // da) * da)
@@ -561,6 +585,25 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                          "false (ring attention has no segment mask)")
     model = build_model(model_name, config, bundle,
                         sp_mesh=mesh if sp_active else None)
+    # PP is active whenever the effective mesh carries a >1 'pipe' axis;
+    # the forward swaps to the GPipe schedule (parallel/pipeline.py) with
+    # the SAME parameter tree, so init/checkpoint/optimizer are untouched
+    pp_active = (mesh is not None and "pipe" in mesh.axis_names
+                 and mesh.shape["pipe"] > 1)
+    pp_ctx = None
+    if pp_active:
+        n_micro = int(parallel_cfg.get("pipe_microbatches",
+                                       mesh.shape["pipe"]))
+        nlayers = int(getattr(model, "nlayers", 0))
+        if nlayers % mesh.shape["pipe"] != 0:
+            raise ValueError(f"model.nlayers={nlayers} must divide over "
+                             f"pipe_stages={mesh.shape['pipe']}")
+        for bs_check, what in ((train_bs, "train batch"),
+                               (batch_size, "eval batch")):
+            if bs_check % n_micro != 0:
+                raise ValueError(f"{what} {bs_check} not divisible by "
+                                 f"pipe_microbatches={n_micro}")
+        pp_ctx = {"mesh": mesh, "n_micro": n_micro}
 
     # steps/schedule
     steps_per_epoch = max(1, (n_train + train_bs - 1) // train_bs)
@@ -645,7 +688,8 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     dev_splits = {s: {k: put_rep(jnp.asarray(v)) for k, v in arrays.items()}
                   for s, arrays in host_splits.items()}
 
-    train_ep, eval_ep = make_epoch_fns(model, bundle, tx, task, num_classes)
+    train_ep, eval_ep = make_epoch_fns(model, bundle, tx, task, num_classes,
+                                       pp=pp_ctx)
 
     out_dir = output_cfg.get("out_dir", f"runs_{model_name}")
     run_name = output_cfg.get("run_name", f"{model_name}-{task}")
