@@ -44,6 +44,8 @@ class EncoderLayer(nn.Module):
     use_flash: bool = False
     dtype: Any = jnp.float32
     sp_mesh: Any = None   # ('data','seq') Mesh -> sequence-parallel ring attn
+    moe_experts: int = 0  # >0: Switch MoE FFN (models/moe.py, EP-shardable)
+    moe_capacity: float = 1.25
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool,
@@ -90,10 +92,16 @@ class EncoderLayer(nn.Module):
         attn = nn.Dropout(self.p_drop, deterministic=deterministic)(attn)
         x = nn.LayerNorm(name="norm1")((x + attn).astype(jnp.float32))
 
-        y = nn.Dense(self.d_ff, name="ff1", dtype=self.dtype)(x)
-        y = nn.relu(y)
-        y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
-        y = nn.Dense(d, name="ff2", dtype=self.dtype)(y)
+        if self.moe_experts > 0:
+            from .moe import SwitchFFN
+            y = SwitchFFN(d, self.d_ff, self.moe_experts, self.moe_capacity,
+                          self.p_drop, self.dtype, name="moe")(
+                x.astype(self.dtype), key_mask, deterministic)
+        else:
+            y = nn.Dense(self.d_ff, name="ff1", dtype=self.dtype)(x)
+            y = nn.relu(y)
+            y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
+            y = nn.Dense(d, name="ff2", dtype=self.dtype)(y)
         y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
         return nn.LayerNorm(name="norm2")((x + y).astype(jnp.float32))
 
@@ -202,6 +210,10 @@ class SimpleTransformer(nn.Module):
     sp_mesh: Any = None                   # ('data','seq') Mesh: shard L and
                                           # ring K/V blocks over ICI
                                           # (ops/ring_attention.py)
+    moe_experts: int = 0                  # >0: Switch MoE FFN per layer
+                                          # (models/moe.py; EP via
+                                          # parallel.expert_shards)
+    moe_capacity: float = 1.25
 
     @nn.compact
     def __call__(
@@ -233,6 +245,7 @@ class SimpleTransformer(nn.Module):
         for i in range(self.nlayers):
             h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
                           self.use_flash, cdtype, self.sp_mesh,
+                          self.moe_experts, self.moe_capacity,
                           name=f"layer_{i}")(h, attn_mask, deterministic, seg)
 
         return transformer_readout(

@@ -125,6 +125,11 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle,
             # (parallel.seq_shards > 1); flash and SP are mutually
             # exclusive attention implementations — SP wins when both set
             sp_mesh=sp_mesh,
+            # Switch MoE FFN (models/moe.py), EP-shardable via
+            # parallel.expert_shards — pure scale-out headroom, the
+            # reference workload has no MoE (SURVEY §2.2)
+            moe_experts=int(model_cfg.get("moe_experts", 0)),
+            moe_capacity=float(model_cfg.get("moe_capacity", 1.25)),
         )
     if model_name == "mpnn":
         return MPNN(
@@ -189,10 +194,17 @@ def build_dataset(model_name: str, dataset_cfg: dict, seed: int,
 
 def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rng,
                  pp=None):
+    """Returns (logits, new_batch_stats_or_None, aux_loss_or_None). The aux
+    term is the Switch MoE load-balance loss (models/moe.py), captured from
+    the 'losses' sow collection on training forwards only."""
     kwargs = {}
     if train:
         kwargs["rngs"] = {"dropout": rng}
-    mutable = ["batch_stats"] if "batch_stats" in variables else False
+    mutable = ["batch_stats"] if "batch_stats" in variables else []
+    moe = getattr(model, "moe_experts", 0) > 0
+    if moe and train:
+        mutable = list(mutable) + ["losses"]
+    mutable = mutable or False
     if bundle.kind == "tokens":
         if pp is not None:
             # pipeline-parallel forward (parallel/pipeline.py): same param
@@ -207,7 +219,7 @@ def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rn
                 seg=batch.get("seg"), pos=batch.get("pos"),
                 pos_bos=batch.get("pos_bos"), pos_u=batch.get("pos_u"),
                 pos_v=batch.get("pos_v"))
-            return out, None
+            return out, None, None
         if "seg" in batch:
             # packed rows (K sequences per attention row, block-diagonal
             # mask): logits come back [B, K, C] / [B, K]
@@ -228,8 +240,13 @@ def _apply_model(model, variables, batch, bundle: DatasetBundle, train: bool, rn
                           mutable=mutable, **kwargs)
     if mutable:
         logits, updates = out
-        return logits, updates.get("batch_stats")
-    return out, None
+        aux = None
+        if "losses" in updates:
+            # sum the per-layer Switch aux terms (each sowed as a 1-tuple)
+            leaves = jax.tree.leaves(updates["losses"])
+            aux = sum(leaves) / max(len(leaves), 1)
+        return logits, updates.get("batch_stats"), aux
+    return out, None, None
 
 
 def _loss_inputs(logits, batch, bvalid):
@@ -271,7 +288,7 @@ def _loss_and_stats(logits, y, valid, task: str, num_classes: int):
 
 
 def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int,
-                   pp=None):
+                   pp=None, moe_aux_weight: float = 0.01):
     """Build jitted (train_block, eval_epoch) closures.
 
     ``train_block`` runs K epochs in ONE dispatch: an outer lax.scan over
@@ -295,9 +312,11 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
                 variables = {"params": p}
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
-                logits, new_stats = _apply_model(model, variables, batch, bundle, True, drop, pp)
+                logits, new_stats, aux = _apply_model(model, variables, batch, bundle, True, drop, pp)
                 lg, y, lvalid = _loss_inputs(logits, batch, bvalid)
                 loss, stats = _loss_and_stats(lg, y, lvalid, task, num_classes)
+                if aux is not None:  # Switch MoE load-balance regularizer
+                    loss = loss + moe_aux_weight * aux
                 return loss, (stats, new_stats)
 
             (loss, (stats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -326,7 +345,7 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
-            logits, _ = _apply_model(model, variables, batch, bundle, False, None, pp)
+            logits, _, _ = _apply_model(model, variables, batch, bundle, False, None, pp)
             lg, y, lvalid = _loss_inputs(logits, batch, bvalid)
             _, stats = _loss_and_stats(lg, y, lvalid, task, num_classes)
             return carry, stats
@@ -550,9 +569,20 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         raise ValueError("parallel.pipe_stages applies to the token "
                          "transformers (ibtt/agtt); graph-native models "
                          "have no layer pipeline")
+    # parallel.expert_shards shards the Switch MoE expert stacks over an
+    # 'expert' mesh axis (models/moe.py + parallel/mesh.py param rule)
+    expert_shards = int(parallel_cfg.get("expert_shards", 1))
+    moe_experts_cfg = int(config.get("model", {}).get("moe_experts", 0))
+    if expert_shards > 1 and moe_experts_cfg <= 0:
+        raise ValueError("parallel.expert_shards requires model.moe_experts")
+    if pipe_stages > 1 and moe_experts_cfg > 0:
+        raise ValueError("parallel.pipe_stages with model.moe_experts is "
+                         "unsupported (the pipeline's layer scan cannot "
+                         "capture the MoE aux-loss sow)")
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh(model_axis=model_axis, seq_shards=seq_shards,
-                         pipe_stages=pipe_stages)
+                         pipe_stages=pipe_stages,
+                         expert_shards=expert_shards)
     if mesh is not None and packed_train:
         da = int(mesh.shape["data"])
         train_bs = max(da, (train_bs // da) * da)
@@ -688,8 +718,10 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     dev_splits = {s: {k: put_rep(jnp.asarray(v)) for k, v in arrays.items()}
                   for s, arrays in host_splits.items()}
 
-    train_ep, eval_ep = make_epoch_fns(model, bundle, tx, task, num_classes,
-                                       pp=pp_ctx)
+    train_ep, eval_ep = make_epoch_fns(
+        model, bundle, tx, task, num_classes, pp=pp_ctx,
+        moe_aux_weight=float(config.get("model", {}).get(
+            "moe_aux_weight", 0.01)))
 
     out_dir = output_cfg.get("out_dir", f"runs_{model_name}")
     run_name = output_cfg.get("run_name", f"{model_name}-{task}")
