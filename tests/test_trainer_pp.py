@@ -109,6 +109,31 @@ def test_pp_packed_rows_match_plain():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_pp_remat_matches_plain():
+    """remat=True (the long-sequence default) wraps the pipeline's layer fn
+    in jax.checkpoint; values and grads are unchanged."""
+    model = _model().clone(remat=True)
+    ids, mask, y = _inputs()
+    params = model.init(jax.random.PRNGKey(0), ids, mask, q_token_id=3,
+                        deterministic=True)["params"]
+    mesh = make_mesh(pipe_stages=2)
+    ref = model.apply({"params": params}, ids, mask, q_token_id=3,
+                      deterministic=True)
+    out = jax.jit(lambda p: pp_transformer_forward(
+        mesh, model, p, ids, mask, q_token_id=3, deterministic=True,
+        n_micro=2))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_pp(p):
+        lg = pp_transformer_forward(mesh, model, p, ids, mask, q_token_id=3,
+                                    deterministic=True, n_micro=2)
+        return optax.softmax_cross_entropy_with_integer_labels(lg, y).mean()
+
+    g = jax.jit(jax.grad(loss_pp))(params)  # remat backward compiles + runs
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
 def test_pp_rejects_indivisible():
     model = _model(nlayers=3)
     ids, mask, _ = _inputs()
