@@ -77,7 +77,7 @@ def main() -> None:
     # Methodology (pinned, BASELINE.md "Throughput methodology"): best-of-5
     # for BOTH sides so host noise cancels symmetrically and the reported
     # ratio is reproducible run-to-run (VERDICT r1 weak #5).
-    reps = 5
+    reps = 8  # per-rep ~10ms; more reps = better odds of a steal-free window
     t_fast = float("inf")
     for rep in range(reps + 1):  # rep 0 is an untimed warm-up (see below)
         t0 = time.perf_counter()

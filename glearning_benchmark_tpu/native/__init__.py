@@ -44,6 +44,16 @@ def get_lib():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    # stale .so predating newer entry points: rebuild once and reload
+    if not hasattr(lib, "gtok_zinc_lmax"):
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "gtok_zinc_lmax"):
+            return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.gtok_vocab_create.restype = ctypes.c_void_p
@@ -72,6 +82,8 @@ def get_lib():
         i64p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
     lib.gtok_edges_lexsorted.restype = ctypes.c_int32
     lib.gtok_edges_lexsorted.argtypes = [i64p, i64p, i64p, ctypes.c_int32]
+    lib.gtok_zinc_lmax.restype = ctypes.c_int64
+    lib.gtok_zinc_lmax.argtypes = [i32p, i32p, i64p, i32p, ctypes.c_int32]
     u8p_pack = ctypes.POINTER(ctypes.c_uint8)
     lib.gtok_pack_ids.restype = None
     lib.gtok_pack_ids.argtypes = [
@@ -301,28 +313,25 @@ def zinc_encode_native(flat, vocab, max_len: int = 1024):
                            dtype=np.int32)
     tail_ids = np.asarray([vocab["<q>"], vocab["regression"], vocab["<p>"],
                            vocab["<atom>"], vocab["<bond>"]], dtype=np.int32)
-    # exact l_max from the ACTUAL kept (src < dst) edge counts — sizing from
-    # n_edges/2 assumes a mirrored edge list and under-allocates for
-    # single-direction inputs (the C side also bounds-checks, returning an
-    # error instead of writing past the buffer)
-    n = flat["n_nodes"]
-    l_max = flat.get("_l_max")
-    if l_max is None:
-        if flat["src"].size:
-            keep = flat["src"] < flat["dst"]
-            kept_cum = np.concatenate([[0], np.cumsum(keep)])
-            eo = flat["edge_off"].astype(np.int64)
-            kept = kept_cum[eo[1:]] - kept_cum[eo[:-1]]
-        else:
-            kept = np.zeros(b, dtype=np.int64)
-        l_max = int((1 + 2 * n + 4 * kept + 3).max()) if b else 1
-        flat["_l_max"] = l_max
     atoms = _flat_as(flat, "atoms", np.int32)
     src = _flat_as(flat, "src", np.int32)
     dst = _flat_as(flat, "dst", np.int32)
     bond = _flat_as(flat, "bond", np.int32)
     node_off = _flat_as(flat, "node_off", np.int64)
     edge_off = _flat_as(flat, "edge_off", np.int64)
+    # exact l_max from the ACTUAL kept (src < dst) edge counts — sizing from
+    # n_edges/2 assumes a mirrored edge list and under-allocates for
+    # single-direction inputs (the C side also bounds-checks, returning an
+    # error instead of writing past the buffer). Computed natively
+    # (gtok_zinc_lmax, one threaded pass) — the numpy keep/cumsum chain this
+    # replaces cost more than the encode kernel itself.
+    l_max = flat.get("_l_max")
+    if l_max is None:
+        nn32 = _flat_as(flat, "n_nodes", np.int32)
+        l_max = int(lib.gtok_zinc_lmax(_i32p(src), _i32p(dst),
+                                       _i64p(edge_off), _i32p(nn32), b)) \
+            if b else 1
+        flat["_l_max"] = l_max
     out = np.empty((b, l_max), dtype=np.int32)
     lens = np.empty(b, dtype=np.int32)
     trunc = np.empty(b, dtype=np.uint8)

@@ -506,21 +506,69 @@ void gtok_pack_ids(const int32_t* ids, const int32_t* lens,
 // mirror (dst, src) in the same molecule. One O(E log deg) pass, no
 // allocation; tuple comparisons (no src*big+dst key) so arbitrary int64
 // ids cannot overflow. Returns 1 if every molecule passes, else 0.
+// Exact output-row sizing for gtok_zinc_encode: max over molecules of
+// 1 + 2*n_nodes + 4*kept + 3, kept = #(src < dst) edges. One parallel
+// pass; replaces a numpy keep/cumsum chain that cost more than the encode
+// kernel itself at 10k molecules.
+int64_t gtok_zinc_lmax(const int32_t* src, const int32_t* dst,
+                       const int64_t* edge_off, const int32_t* n_nodes,
+                       int32_t n_mols) {
+  std::atomic<int64_t> lmax{1};
+  parallel_for_shards(n_mols, n_gtok_threads(n_mols),
+                      [&](int64_t lo, int64_t hi) {
+    int64_t local = 1;
+    for (int64_t m = lo; m < hi; ++m) {
+      int64_t kept = 0;
+      for (int64_t i = edge_off[m]; i < edge_off[m + 1]; ++i) {
+        kept += src[i] < dst[i];
+      }
+      const int64_t l = 1 + 2 * static_cast<int64_t>(n_nodes[m]) + 4 * kept + 3;
+      if (l > local) local = l;
+    }
+    int64_t cur = lmax.load(std::memory_order_relaxed);
+    while (local > cur &&
+           !lmax.compare_exchange_weak(cur, local,
+                                       std::memory_order_relaxed)) {}
+  });
+  return lmax.load();
+}
+
 int32_t gtok_edges_lexsorted(const int64_t* src, const int64_t* dst,
                              const int64_t* edge_off, int32_t n_mols) {
   // per-molecule checks are independent; shard across the pool. The result
   // is a single AND over per-molecule verdicts, so a relaxed early-exit
-  // flag keeps semantics identical to the sequential scan (the binary-
-  // search mirror pass dominated the sequential cost).
+  // flag keeps semantics identical to the sequential scan (the mirror
+  // pass dominated the sequential cost).
   std::atomic<bool> bad{false};
   auto check_mol = [&](int32_t m) -> bool {
     const int64_t s = edge_off[m], e = edge_off[m + 1];
+    int64_t max_id = -1;
     for (int64_t i = s; i < e; ++i) {
       if (src[i] == dst[i]) return false;  // self-loop
       if (i > s && (src[i] < src[i - 1] ||
                     (src[i] == src[i - 1] && dst[i] <= dst[i - 1]))) {
         return false;  // not strictly increasing (duplicates included)
       }
+      const int64_t hi_id = src[i] > dst[i] ? src[i] : dst[i];
+      if (hi_id > max_id) max_id = hi_id;
+    }
+    // mirror check. Fast path for small-id molecules (every benchmark
+    // corpus: nodes < 128): mark forward pairs in a stack bitset, then
+    // each reversed edge is one bit probe — O(E) instead of O(E log E).
+    if (max_id >= 0 && max_id < 128) {
+      uint64_t bits[256] = {0};  // 128*128 pair bits / 64 per word = 2KB
+      for (int64_t i = s; i < e; ++i) {
+        if (src[i] < dst[i]) {
+          const int64_t p = src[i] * 128 + dst[i];
+          bits[p >> 6] |= (uint64_t{1} << (p & 63));
+        }
+      }
+      for (int64_t i = s; i < e; ++i) {
+        if (src[i] < dst[i]) continue;
+        const int64_t p = dst[i] * 128 + src[i];
+        if (!(bits[p >> 6] & (uint64_t{1} << (p & 63)))) return false;
+      }
+      return true;
     }
     for (int64_t i = s; i < e; ++i) {
       if (src[i] < dst[i]) continue;  // forward edge
