@@ -169,17 +169,19 @@ def _load_npz(path: str):
             edge_labels=bond[es:ee].astype(np.int32)))
     node_off = node_off.astype(np.int64)
     edge_off = edge_off.astype(np.int64)
+    # canonical flat dtypes = the native-kernel dtypes (int32 fields, int64
+    # offsets — same contract as tokenization.ibtt_fast.flatten_zinc_corpus),
+    # so the export's own int32 arrays flow through zero-copy
     flat = {
-        "n_nodes": np.diff(node_off), "n_edges": np.diff(edge_off),
+        "n_nodes": np.diff(node_off).astype(np.int32),
+        "n_edges": np.diff(edge_off).astype(np.int32),
         "node_off": node_off, "edge_off": edge_off,
-        "atoms": atom.astype(np.int64),
-        "src": src.astype(np.int64), "dst": dst.astype(np.int64),
-        "bond": bond.astype(np.int64), "y": y.astype(np.float64),
+        "atoms": np.ascontiguousarray(atom, dtype=np.int32),
+        "src": np.ascontiguousarray(src, dtype=np.int32),
+        "dst": np.ascontiguousarray(dst, dtype=np.int32),
+        "bond": np.ascontiguousarray(bond, dtype=np.int32),
+        "y": y.astype(np.float64),
     }
-    # pre-seed the native layer's dtype caches (native._flat_as) with the
-    # export's own int32 arrays — zero-copy
-    for key, arr in (("atoms", atom), ("src", src), ("dst", dst), ("bond", bond)):
-        flat[f"_as:{key}:int32"] = np.ascontiguousarray(arr, dtype=np.int32)
     return graphs, flat
 
 

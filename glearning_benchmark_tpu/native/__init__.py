@@ -81,7 +81,7 @@ def get_lib():
         i32p, i32p, i64p, f64p, ctypes.c_int32, ctypes.c_int32,
         i64p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
     lib.gtok_edges_lexsorted.restype = ctypes.c_int32
-    lib.gtok_edges_lexsorted.argtypes = [i64p, i64p, i64p, ctypes.c_int32]
+    lib.gtok_edges_lexsorted.argtypes = [i32p, i32p, i64p, ctypes.c_int32]
     lib.gtok_zinc_lmax.restype = ctypes.c_int64
     lib.gtok_zinc_lmax.argtypes = [i32p, i32p, i64p, i32p, ctypes.c_int32]
     u8p_pack = ctypes.POINTER(ctypes.c_uint8)
@@ -255,11 +255,11 @@ def edges_lexsorted_native(flat) -> bool:
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    src = _flat_as(flat, "src", np.int64)
-    dst = _flat_as(flat, "dst", np.int64)
+    src = _flat_as(flat, "src", np.int32)
+    dst = _flat_as(flat, "dst", np.int32)
     edge_off = _flat_as(flat, "edge_off", np.int64)
     n_mols = len(flat["n_nodes"])
-    return bool(lib.gtok_edges_lexsorted(_i64p(src), _i64p(dst),
+    return bool(lib.gtok_edges_lexsorted(_i32p(src), _i32p(dst),
                                          _i64p(edge_off), n_mols))
 
 

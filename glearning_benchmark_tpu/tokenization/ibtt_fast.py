@@ -77,10 +77,14 @@ def flatten_zinc_corpus(mols: Sequence[Graph]) -> Dict[str, np.ndarray]:
     if carried is not None and _corpus_flat_matches(carried, mols):
         return carried
     b = len(mols)
-    n_nodes = np.fromiter((m.num_nodes for m in mols), dtype=np.int64, count=b)
-    n_edges = np.fromiter((m.edges.shape[0] for m in mols), dtype=np.int64, count=b)
+    # canonical flat dtypes are the NATIVE-KERNEL dtypes (int32 fields,
+    # int64 offsets): the hot consumers (gtok.cpp via native._flat_as) then
+    # take every array zero-copy, and the numpy paths upcast locally where
+    # their key arithmetic needs int64
+    n_nodes = np.fromiter((m.num_nodes for m in mols), dtype=np.int32, count=b)
+    n_edges = np.fromiter((m.edges.shape[0] for m in mols), dtype=np.int32, count=b)
     atoms = np.concatenate([m.node_labels for m in mols]) if b else np.zeros(0, np.int32)
-    if b and n_edges.sum():
+    if b and int(n_edges.sum()):
         e = np.concatenate([m.edges for m in mols], axis=0)
         eb = np.concatenate([
             m.edge_labels if m.edge_labels is not None
@@ -91,11 +95,14 @@ def flatten_zinc_corpus(mols: Sequence[Graph]) -> Dict[str, np.ndarray]:
     ys = np.fromiter((m.y for m in mols), dtype=np.float64, count=b)
     return {
         "n_nodes": n_nodes, "n_edges": n_edges,
-        "node_off": np.concatenate([[0], np.cumsum(n_nodes)]),
-        "edge_off": np.concatenate([[0], np.cumsum(n_edges)]),
-        "atoms": atoms.astype(np.int64),
-        "src": e[:, 0].astype(np.int64), "dst": e[:, 1].astype(np.int64),
-        "bond": eb.astype(np.int64), "y": ys,
+        "node_off": np.concatenate(
+            [[0], np.cumsum(n_nodes, dtype=np.int64)]),
+        "edge_off": np.concatenate(
+            [[0], np.cumsum(n_edges, dtype=np.int64)]),
+        "atoms": np.ascontiguousarray(atoms, dtype=np.int32),
+        "src": np.ascontiguousarray(e[:, 0], dtype=np.int32),
+        "dst": np.ascontiguousarray(e[:, 1], dtype=np.int32),
+        "bond": np.ascontiguousarray(eb, dtype=np.int32), "y": ys,
     }
 
 
@@ -123,7 +130,12 @@ def _edges_lexsorted_per_mol(flat: Dict[str, np.ndarray]) -> bool:
     except Exception:
         pass
 
-    src, dst, eo = flat["src"], flat["dst"], flat["edge_off"]
+    # numpy fallback: upcast to int64 — the packed-key arithmetic below
+    # (src*big+dst, mol*big² + canon) would overflow the canonical int32
+    # fields for large node-id ranges
+    src = flat["src"].astype(np.int64)
+    dst = flat["dst"].astype(np.int64)
+    eo = flat["edge_off"]
     if src.size == 0:
         return done(True)
     if (src == dst).any():

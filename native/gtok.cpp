@@ -533,7 +533,7 @@ int64_t gtok_zinc_lmax(const int32_t* src, const int32_t* dst,
   return lmax.load();
 }
 
-int32_t gtok_edges_lexsorted(const int64_t* src, const int64_t* dst,
+int32_t gtok_edges_lexsorted(const int32_t* src, const int32_t* dst,
                              const int64_t* edge_off, int32_t n_mols) {
   // per-molecule checks are independent; shard across the pool. The result
   // is a single AND over per-molecule verdicts, so a relaxed early-exit
