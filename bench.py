@@ -115,7 +115,7 @@ def main() -> None:
     # understate the baseline
     sub = mols[: min(2000, n)]
     t_ref_best = float("inf")
-    for _ in range(5):
+    for _ in range(reps):  # same rep count as the production side (symmetry)
         t0 = time.perf_counter()
         ref_out = _reference_style_pipeline(sub, vocab, max_len)
         t_ref_best = min(t_ref_best, time.perf_counter() - t0)
