@@ -23,12 +23,22 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
+        cmd = ["make", "-C", _NATIVE_DIR] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return os.path.isfile(_LIB_PATH)
     except Exception:
+        return False
+
+
+def _so_is_stale() -> bool:
+    """True when gtok.cpp is newer than the built .so (e.g. after a pull
+    that left an old untracked .so behind)."""
+    try:
+        src = os.path.getmtime(os.path.join(_NATIVE_DIR, "gtok.cpp"))
+        return os.path.getmtime(_LIB_PATH) < src
+    except OSError:
         return False
 
 
@@ -38,15 +48,25 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_LIB_PATH) and not _build():
+    # rebuild BEFORE the first dlopen when the source is newer than the .so:
+    # once a path is mapped, a no-op rebuild reloads the same handle (glibc
+    # dedups dlopen by dev/inode and ctypes never dlcloses)
+    if (not os.path.isfile(_LIB_PATH) or _so_is_stale()) and not _build():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    # stale .so predating newer entry points: rebuild once and reload
+    # stale .so predating newer entry points with a misleading fresh mtime
+    # (e.g. copied from another checkout): unlink + force-rebuild so the
+    # fresh library lands on a NEW inode — glibc dedups dlopen by dev/inode,
+    # so an in-place relink would hand back the cached stale handle
     if not hasattr(lib, "gtok_zinc_lmax"):
-        if not _build():
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            pass
+        if not _build(force=True):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

@@ -32,10 +32,10 @@ def make_mesh(devices: Optional[Sequence] = None,
     models/moe.py). Defaults: all devices on 'data'."""
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
-    exclusive = [x for x in (("pipe", pipe_stages), ("expert", expert_shards))
-                 if x[1] > 1]
+    exclusive = [x for x in (("pipe_stages", pipe_stages),
+                             ("expert_shards", expert_shards)) if x[1] > 1]
     if exclusive and (model_axis > 1 or seq_shards > 1 or len(exclusive) > 1):
-        raise ValueError(f"{exclusive[0][0]}_shards composes with DP only "
+        raise ValueError(f"{exclusive[0][0]} composes with DP only "
                          "(no TP/SP/other axes on the same mesh yet)")
     if data_axis is None:
         data_axis = n // (model_axis * seq_shards * pipe_stages

@@ -573,8 +573,19 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # 'expert' mesh axis (models/moe.py + parallel/mesh.py param rule)
     expert_shards = int(parallel_cfg.get("expert_shards", 1))
     moe_experts_cfg = int(config.get("model", {}).get("moe_experts", 0))
-    if expert_shards > 1 and moe_experts_cfg <= 0:
-        raise ValueError("parallel.expert_shards requires model.moe_experts")
+    if expert_shards > 1:
+        if model_name not in ("ibtt", "agtt"):
+            raise ValueError("parallel.expert_shards applies to the token "
+                             "transformers (ibtt/agtt); the graph-native "
+                             "models have no MoE FFN")
+        if moe_experts_cfg <= 0:
+            raise ValueError("parallel.expert_shards requires model.moe_experts")
+        if moe_experts_cfg % expert_shards != 0:
+            raise ValueError(
+                f"model.moe_experts={moe_experts_cfg} must divide over "
+                f"parallel.expert_shards={expert_shards} (otherwise the "
+                "expert stacks stay replicated while the mesh still gives "
+                "up data-parallel width)")
     if pipe_stages > 1 and moe_experts_cfg > 0:
         raise ValueError("parallel.pipe_stages with model.moe_experts is "
                          "unsupported (the pipeline's layer scan cannot "

@@ -147,3 +147,12 @@ def test_expert_shards_requires_moe():
     with pytest.raises(ValueError, match="moe_experts"):
         train(_cfg(tempfile.mkdtemp(), tempfile.mkdtemp(), 0, 2), "ibtt",
               verbose=False, mesh=make_mesh(expert_shards=2))
+    # experts must divide over the expert axis, else the stacks silently
+    # stay replicated while the mesh gives up data-parallel width
+    with pytest.raises(ValueError, match="divide"):
+        train(_cfg(tempfile.mkdtemp(), tempfile.mkdtemp(), 3, 2), "ibtt",
+              verbose=False, mesh=make_mesh(expert_shards=2))
+    # graph-native models have no MoE FFN
+    with pytest.raises(ValueError, match="token"):
+        train(_cfg(tempfile.mkdtemp(), tempfile.mkdtemp(), 4, 2), "mpnn",
+              verbose=False, mesh=make_mesh(expert_shards=2))
