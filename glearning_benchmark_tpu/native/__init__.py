@@ -134,26 +134,51 @@ _gstats = None
 _gstats_tried = False
 
 
+def _gstats_is_stale() -> bool:
+    """True when gstats.cpp is newer than the built .so (same hazard as
+    _so_is_stale: a pull leaves an old untracked binary behind)."""
+    try:
+        src = os.path.getmtime(os.path.join(_NATIVE_DIR, "gstats.cpp"))
+        return os.path.getmtime(_GSTATS_PATH) < src
+    except OSError:
+        return False
+
+
 def get_gstats():
     """Load (building if needed) the orbit-count library; None if unavailable."""
     global _gstats, _gstats_tried
     if _gstats is not None or _gstats_tried:
         return _gstats
     _gstats_tried = True
-    if not os.path.isfile(_GSTATS_PATH) and not _build():
+    # rebuild BEFORE the first dlopen when the source is newer (see get_lib)
+    if (not os.path.isfile(_GSTATS_PATH) or _gstats_is_stale()) and not _build():
         return None
     try:
         lib = ctypes.CDLL(_GSTATS_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "gstats_orbit_counts_batch"):
+        # stale .so predating the symbol with a fresh mtime (e.g. copied from
+        # another checkout): unlink + force-rebuild onto a NEW inode — glibc
+        # dedups dlopen by dev/inode, an in-place relink returns the stale
+        # handle (same recovery as get_lib)
+        try:
+            os.remove(_GSTATS_PATH)
+        except OSError:
+            pass
+        if not _build(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(_GSTATS_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "gstats_orbit_counts_batch"):
+            return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    try:
-        lib.gstats_orbit_counts_batch.restype = ctypes.c_int32
-        lib.gstats_orbit_counts_batch.argtypes = [
-            i32p, i32p, i64p, i32p, i64p, ctypes.c_int32, i64p]
-    except AttributeError:
-        return None  # stale .so predating gstats
+    lib.gstats_orbit_counts_batch.restype = ctypes.c_int32
+    lib.gstats_orbit_counts_batch.argtypes = [
+        i32p, i32p, i64p, i32p, i64p, ctypes.c_int32, i64p]
     _gstats = lib
     return _gstats
 
@@ -230,6 +255,8 @@ class NativeVocab:
         ids = np.asarray([vocab[t] for t in toks], dtype=np.int32)
         self._lib = lib
         self._handle = lib.gtok_vocab_create(blob, _i64p(offs), len(toks), _i32p(ids))
+        # kept so a prebuilt handle is usable across encode_texts_native calls
+        self.pad_id: Optional[int] = vocab.get("<pad>")
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -248,12 +275,27 @@ def encode_texts_native(
     if lib is None:
         raise RuntimeError("native library unavailable")
     nv = vocab if isinstance(vocab, NativeVocab) else NativeVocab(vocab)
-    pad_id = None
-    if isinstance(vocab, dict):
-        pad_id = vocab["<pad>"]
+    pad_id = vocab["<pad>"] if isinstance(vocab, dict) else nv.pad_id
     if pad_id is None:
-        raise ValueError("pass the vocab dict (need <pad> id)")
+        raise ValueError("vocab has no <pad> id")
     blob = "\n".join(texts).encode("utf-8")
+    if not blob.isascii():
+        # Python str.split() also breaks on unicode whitespace (U+00A0, …)
+        # which the byte-level C tokenizer cannot see; keep native == scalar
+        # bit-for-bit by routing non-ASCII corpora through the exact path.
+        # ASCII-ness is one C-speed scan; the token grammar is ASCII, so
+        # production corpora never take this branch.
+        if not isinstance(vocab, dict):
+            raise ValueError("non-ASCII texts need the vocab dict (scalar path)")
+        from ..tokenization.ibtt import encode_text
+        rows = [encode_text(t, vocab, max_len=max_len, strip_label=strip_label)
+                for t in texts]
+        lens = np.asarray([len(r) for r in rows], dtype=np.int32)
+        l = int(lens.max()) if len(texts) else 0
+        ids = np.full((len(texts), l), pad_id, dtype=np.int32)
+        for i, r in enumerate(rows):
+            ids[i, :len(r)] = r
+        return ids, lens
     offs = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum([len(t.encode("utf-8")) + 1 for t in texts], out=offs[1:])
     offs[-1] -= 1  # no trailing separator
@@ -320,17 +362,14 @@ def zinc_encode_native(flat, vocab, max_len: int = 1024):
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    from ..data.zinc import zinc_atom_symbol, zinc_bond_name
+    # one id-table builder shared with the numpy path (ibtt_fast._id_tables)
+    # — the native==numpy byte-exactness invariant rides on these tables
+    from ..tokenization.ibtt_fast import _id_tables
 
     b = len(flat["n_nodes"])
     pad = vocab["<pad>"]
-    atom_ids = np.asarray([vocab.get(zinc_atom_symbol(i), pad) for i in range(9)],
-                          dtype=np.int32)
-    bond_ids = np.asarray([pad] + [vocab.get(zinc_bond_name(x), pad)
-                                   for x in range(1, 5)], dtype=np.int32)
     max_nodes = int(flat["n_nodes"].max()) if b else 0
-    index_ids = np.asarray([vocab.get(str(i), pad) for i in range(max_nodes + 1)],
-                           dtype=np.int32)
+    atom_ids, bond_ids, index_ids = _id_tables(vocab, max_nodes)
     tail_ids = np.asarray([vocab["<q>"], vocab["regression"], vocab["<p>"],
                            vocab["<atom>"], vocab["<bond>"]], dtype=np.int32)
     atoms = _flat_as(flat, "atoms", np.int32)

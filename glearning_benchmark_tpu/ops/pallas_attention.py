@@ -35,6 +35,7 @@ final step — VMEM holds only one block of each operand at a time.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -269,7 +270,10 @@ def _fold_all(q, k, v, seg, block_l, block_s):
     b, l, h, d = q.shape
     bl = min(block_l, 512)
     bs = min(block_s, 512)
-    blk = max(bl, bs)
+    # pad L so BOTH block sizes divide it — the grid floor-divides l_pad by
+    # bl and bs, so a max()-padded L with non-divisible blocks (e.g. bl=96,
+    # L=128) would silently drop tail blocks and return garbage rows
+    blk = math.lcm(bl, bs)
     l_pad = -(-l // blk) * blk
     # D stays UNPADDED in HBM: a [*, block, D] window of a [BH, L, D] array
     # is contiguous, so the DMA moves only real bytes; lane padding to 128

@@ -126,25 +126,21 @@ def gpipe_layers(mesh: Mesh, stacked, h, mask, seg, layer_fn,
     # divisibility constraint at this boundary. in_specs therefore only
     # place the stacked layer axis on 'pipe'; everything else is logically
     # global.
-    if use_seg and use_rng:
-        f = jax.shard_map(body, mesh=mesh,
-                          in_specs=(P("pipe"), P(), P(), P(), P()),
-                          out_specs=P(), axis_names={"pipe"}, check_vma=False)
-        return f(stacked, h, mask, seg, rng)
-    if use_seg:
-        f = jax.shard_map(lambda stk, hh, mm, sg: body(stk, hh, mm, sg, None),
-                          mesh=mesh, in_specs=(P("pipe"), P(), P(), P()),
-                          out_specs=P(), axis_names={"pipe"}, check_vma=False)
-        return f(stacked, h, mask, seg)
-    if use_rng:
-        f = jax.shard_map(lambda stk, hh, mm, k: body(stk, hh, mm, None, k),
-                          mesh=mesh, in_specs=(P("pipe"), P(), P(), P()),
-                          out_specs=P(), axis_names={"pipe"}, check_vma=False)
-        return f(stacked, h, mask, rng)
-    f = jax.shard_map(lambda stk, hh, mm: body(stk, hh, mm, None, None),
-                      mesh=mesh, in_specs=(P("pipe"), P(), P()),
+    # one shard_map for all four seg/rng combinations: optional operands
+    # join the arg list (and an extra P() spec) only when present, and the
+    # wrapper threads them back into body's fixed signature
+    extras = ([seg] if use_seg else []) + ([rng] if use_rng else [])
+
+    def wrapped(stk, hh, mm, *opt):
+        it = iter(opt)
+        sg = next(it) if use_seg else None
+        k = next(it) if use_rng else None
+        return body(stk, hh, mm, sg, k)
+
+    f = jax.shard_map(wrapped, mesh=mesh,
+                      in_specs=(P("pipe"),) + (P(),) * (2 + len(extras)),
                       out_specs=P(), axis_names={"pipe"}, check_vma=False)
-    return f(stacked, h, mask)
+    return f(stacked, h, mask, *extras)
 
 
 def pp_transformer_forward(mesh: Mesh, model, params, x, attn_mask, *,
@@ -168,6 +164,16 @@ def pp_transformer_forward(mesh: Mesh, model, params, x, attn_mask, *,
 
     S = int(mesh.shape["pipe"])
     L = int(model.nlayers)
+    # the pipelined EncoderLayer is rebuilt below WITHOUT sp_mesh/moe —
+    # refuse rather than silently dropping those features (the trainer
+    # guards its own mesh construction, but a caller-supplied mesh can
+    # reach here with either configured)
+    if getattr(model, "sp_mesh", None) is not None:
+        raise ValueError("pipeline parallelism does not compose with "
+                         "sequence-parallel ring attention (model.sp_mesh)")
+    if getattr(model, "moe_experts", 0):
+        raise ValueError("pipeline parallelism does not compose with "
+                         "MoE FFNs (model.moe_experts)")
     if L % S != 0:
         raise ValueError(f"model.nlayers={L} must divide over "
                          f"pipe_stages={S}")

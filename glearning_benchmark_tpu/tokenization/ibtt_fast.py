@@ -295,8 +295,12 @@ def corpus_ids_vectorized(
     full_len = lengths + 2                             # + label + <eos>
     trunc = full_len > max_len
 
-    l_max = int(lengths[~trunc].max()) if (~trunc).any() else 0
-    l_max = max(l_max, min(int(full_len.max()), max_len)) or 1
+    # width = stripped max over the untruncated rows, matching the scalar and
+    # native paths exactly (pack_corpus buckets on this width — 2 spare pad
+    # columns here could bump a 127/255-wide corpus into the next bucket on
+    # the numpy path only). Truncated rows are absent from the scatter;
+    # _patch_truncated grows the matrix on demand when they need more width.
+    l_max = int(lengths[~trunc].max()) if (~trunc).any() else 1
     out = np.full(b * l_max, pad, dtype=np.int32)
 
     # atoms: positions base + 1 + 2k / +2

@@ -102,6 +102,13 @@ int32_t gtok_encode_texts(const void* vocab, const char* buf,
                           int32_t max_len, int32_t pad_id, int32_t strip_label,
                           int32_t* out_ids, int32_t* out_lens) {
   const auto& map = static_cast<const Vocab*>(vocab)->map;
+  // Python str.split() whitespace for ASCII bytes: \t\n\v\f\r, space, and
+  // the 0x1c-0x1f separators (all .isspace() in Python). The ctypes wrapper
+  // routes non-ASCII texts to the scalar path, so matching the ASCII set
+  // here keeps native == Python bit-for-bit.
+  auto is_split_ws = [](unsigned char c) {
+    return c == ' ' || (c >= '\t' && c <= '\r') || (c >= 0x1c && c <= 0x1f);
+  };
   // texts are independent and the vocab map is read-only: shard across
   // threads (disjoint output rows, deterministic)
   parallel_for_shards(
@@ -113,9 +120,9 @@ int32_t gtok_encode_texts(const void* vocab, const char* buf,
           int32_t* row = out_ids + t * max_len;
           int32_t len = 0;
           while (p < end && len < max_len) {
-            while (p < end && (*p == ' ' || *p == '\n' || *p == '\t')) ++p;
+            while (p < end && is_split_ws(*p)) ++p;
             const char* start = p;
-            while (p < end && *p != ' ' && *p != '\n' && *p != '\t') ++p;
+            while (p < end && !is_split_ws(*p)) ++p;
             if (p == start) break;
             const std::string_view tok(start, static_cast<size_t>(p - start));
             auto it = map.find(tok);

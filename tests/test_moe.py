@@ -69,7 +69,8 @@ def test_capacity_and_validity():
     params = ffn.init(jax.random.PRNGKey(0), x, valid, True)["params"]
     out, state = ffn.apply({"params": params}, x, valid, True,
                            mutable=["losses"])
-    # capacity 0.25 * 16 / 2 = 2 slots/expert -> at most 4 routed tokens
+    # per-row capacity 0.25 * 8 / 2 = 1 slot/expert/row
+    # -> at most B * E * cap = 2 * 2 * 1 = 4 routed tokens
     routed = (np.abs(np.asarray(out)).reshape(16, 8).sum(-1) > 0).sum()
     assert routed <= 4
     # an all-invalid batch routes nothing

@@ -69,6 +69,37 @@ def test_encode_native_oov_and_strip():
     assert ids[0, 2] == vocab["<p>"]
 
 
+def test_encode_native_whitespace_classes_match_python():
+    # Python str.split() breaks on \r \v \f and the 0x1c-0x1f separators too;
+    # the C tokenizer must agree byte-for-byte (CRLF corpora are the realistic
+    # case), and unicode whitespace routes through the exact scalar path.
+    vocab, _ = build_vocab_from_texts(["a b c <p> yes <eos>"])
+    texts = ["a\rb \tc <p> yes", "a\x0bb\x0cc", "a\x1cb\x1dc\x1eb\x1fa",
+             "a b c", "a b"]
+    ids_p, lens_p = encode_texts(texts, vocab, max_len=16)
+    ids_n, lens_n = native.encode_texts_native(texts, vocab, max_len=16)
+    np.testing.assert_array_equal(lens_p, lens_n)
+    np.testing.assert_array_equal(ids_p, ids_n[:, : ids_p.shape[1]])
+    # non-ASCII corpus (U+00A0 is .isspace() in Python): exact-path reroute
+    utexts = ["a\u00a0b c", "b a"]  # U+00A0 no-break space
+    ids_pu, lens_pu = encode_texts(utexts, vocab, max_len=16)
+    ids_nu, lens_nu = native.encode_texts_native(utexts, vocab, max_len=16)
+    np.testing.assert_array_equal(lens_pu, lens_nu)
+    np.testing.assert_array_equal(ids_pu, ids_nu[:, : ids_pu.shape[1]])
+
+
+def test_encode_native_prebuilt_vocab_handle():
+    # a prebuilt NativeVocab is reusable across calls (pad id travels with it)
+    vocab, _ = build_vocab_from_texts(["a b <p> yes <eos>"])
+    nv = native.NativeVocab(vocab)
+    texts = ["a b <p> yes <eos>", "b a a <p> no"]
+    ids_d, lens_d = native.encode_texts_native(texts, vocab, max_len=10)
+    for _ in range(2):  # twice: the handle must survive reuse
+        ids_h, lens_h = native.encode_texts_native(texts, nv, max_len=10)
+        np.testing.assert_array_equal(ids_d, ids_h)
+        np.testing.assert_array_equal(lens_d, lens_h)
+
+
 # ---------------------------------------------------------------------------
 # corpus scanner
 # ---------------------------------------------------------------------------

@@ -13,6 +13,12 @@ here at otherwise-reference HPs (lr 1e-3, 300 epochs):
            docs/synthetic_data.md's pair-count example tops out at 19
            nodes, and len<=7 distance labels cover most pairs only for
            10-20-node graphs.
+  medium — 20-40-node bucket, the middle point of the size sweep.
+
+Measured (ABLATIONS.json): small 1.000 (bf16 AND f32), medium 0.701,
+default 10-50 mix 0.64-0.65 — monotone in graph size at fixed reference
+HPs, i.e. the residual gap vs the 0.9706 baseline is corpus-size-
+intrinsic, not a recipe/precision artifact.
 
     python tools/ablate_sp.py [--only f32,small] [--out ABLATIONS.json]
 
@@ -46,6 +52,14 @@ ABLATIONS = [
      {**SP_BASE, "dataset.graph_token_root": "data/graph-token-small",
       "dataset.size_buckets": ["small"],
       "output.run_name": "ibtt-sp-small"}),
+    # middle point of the size sweep: 20-40-node graphs. Together with
+    # small (1.000) and the 10-50 default (0.64) this shows accuracy
+    # degrading monotonically with graph size at fixed reference HPs —
+    # the corpus-size-intrinsic explanation, not a recipe artifact.
+    ("ibtt-sp-medium", "ibtt", "configs/ibtt_graph_token.yaml",
+     {**SP_BASE, "dataset.graph_token_root": "data/graph-token-medium",
+      "dataset.size_buckets": ["medium"],
+      "output.run_name": "ibtt-sp-medium"}),
     # combined: if each alone falls short, their interaction
     ("ibtt-sp-small-f32", "ibtt", "configs/ibtt_graph_token.yaml",
      {**SP_BASE, "dataset.graph_token_root": "data/graph-token-small",
