@@ -46,6 +46,7 @@ class EncoderLayer(nn.Module):
     sp_mesh: Any = None   # ('data','seq') Mesh -> sequence-parallel ring attn
     moe_experts: int = 0  # >0: Switch MoE FFN (models/moe.py, EP-shardable)
     moe_capacity: float = 1.25
+    ep_mesh: Any = None   # ('data','expert') Mesh -> manual all-to-all MoE
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool,
@@ -95,7 +96,7 @@ class EncoderLayer(nn.Module):
         if self.moe_experts > 0:
             from .moe import SwitchFFN
             y = SwitchFFN(d, self.d_ff, self.moe_experts, self.moe_capacity,
-                          self.p_drop, self.dtype, name="moe")(
+                          self.p_drop, self.dtype, self.ep_mesh, name="moe")(
                 x.astype(self.dtype), key_mask, deterministic)
         else:
             y = nn.Dense(self.d_ff, name="ff1", dtype=self.dtype)(x)
@@ -214,6 +215,9 @@ class SimpleTransformer(nn.Module):
                                           # (models/moe.py; EP via
                                           # parallel.expert_shards)
     moe_capacity: float = 1.25
+    ep_mesh: Any = None                   # ('data','expert') Mesh: manual
+                                          # all-to-all MoE dispatch
+                                          # (parallel.ep_manual)
 
     @nn.compact
     def __call__(
@@ -245,7 +249,7 @@ class SimpleTransformer(nn.Module):
         for i in range(self.nlayers):
             h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
                           self.use_flash, cdtype, self.sp_mesh,
-                          self.moe_experts, self.moe_capacity,
+                          self.moe_experts, self.moe_capacity, self.ep_mesh,
                           name=f"layer_{i}")(h, attn_mask, deterministic, seg)
 
         return transformer_readout(

@@ -72,7 +72,7 @@ class TrainResult:
 
 
 def build_model(model_name: str, config: dict, bundle: DatasetBundle,
-                sp_mesh=None):
+                sp_mesh=None, ep_mesh=None):
     model_cfg = config.get("model", {})
     task = bundle.task
     use_query = task in QUERY_TASKS
@@ -130,6 +130,10 @@ def build_model(model_name: str, config: dict, bundle: DatasetBundle,
             # reference workload has no MoE (SURVEY §2.2)
             moe_experts=int(model_cfg.get("moe_experts", 0)),
             moe_capacity=float(model_cfg.get("moe_capacity", 1.25)),
+            # manual all-to-all MoE dispatch (parallel.ep_manual): batch
+            # shards over BOTH mesh axes and the dispatch/combine become
+            # explicit lax.all_to_all exchanges (models/moe.py)
+            ep_mesh=ep_mesh,
         )
     if model_name == "mpnn":
         return MPNN(
@@ -586,6 +590,13 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                 f"parallel.expert_shards={expert_shards} (otherwise the "
                 "expert stacks stay replicated while the mesh still gives "
                 "up data-parallel width)")
+    # parallel.ep_manual: manual all-to-all MoE dispatch (models/moe.py
+    # _manual_ep_ffn) — the batch also shards over 'expert', and the
+    # dispatch/combine become explicit lax.all_to_all exchanges instead of
+    # GSPMD replicating activations over the expert axis
+    ep_manual = bool(parallel_cfg.get("ep_manual", False))
+    if ep_manual and expert_shards <= 1:
+        raise ValueError("parallel.ep_manual requires parallel.expert_shards")
     if pipe_stages > 1 and moe_experts_cfg > 0:
         raise ValueError("parallel.pipe_stages with model.moe_experts is "
                          "unsupported (the pipeline's layer scan cannot "
@@ -624,8 +635,22 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     if sp_active and packed_train:
         raise ValueError("sequence-parallel mesh requires dataset.pack: "
                          "false (ring attention has no segment mask)")
+    # manual-EP is active when the effective mesh carries a >1 'expert'
+    # axis AND parallel.ep_manual is set; every batch (train and eval) then
+    # shards over data*expert, which both must divide
+    ep_active = (ep_manual and mesh is not None
+                 and "expert" in mesh.axis_names and mesh.shape["expert"] > 1)
+    if ep_active:
+        width = int(mesh.shape["data"]) * int(mesh.shape["expert"])
+        for bs_check, what in ((train_bs, "train batch"),
+                               (batch_size, "eval batch")):
+            if bs_check % width != 0:
+                raise ValueError(f"{what} {bs_check} not divisible by "
+                                 f"data*expert mesh width {width} "
+                                 "(parallel.ep_manual)")
     model = build_model(model_name, config, bundle,
-                        sp_mesh=mesh if sp_active else None)
+                        sp_mesh=mesh if sp_active else None,
+                        ep_mesh=mesh if ep_active else None)
     # PP is active whenever the effective mesh carries a >1 'pipe' axis;
     # the forward swaps to the GPipe schedule (parallel/pipeline.py) with
     # the SAME parameter tree, so init/checkpoint/optimizer are untouched
@@ -666,7 +691,17 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
     # init from an unpacked split (val shares the parameter structure; the
     # packed/unpacked forwards use the same modules)
     init_split = "val" if packed_train else "train"
-    sample = {k: jnp.asarray(v[:2]) for k, v in bundle.splits[init_split].items()}
+    # manual EP shard_maps the forward over data*expert batch shards, so
+    # even the init's dummy batch must be that wide (params are batch-
+    # size-independent; rows just repeat)
+    n_init = (int(mesh.shape["data"]) * int(mesh.shape["expert"])
+              if ep_active else 2)
+    def _init_rows(v):
+        s = v[:2]
+        if len(s) < n_init:
+            s = np.concatenate([s] * (-(-n_init // max(len(s), 1))))[:n_init]
+        return jnp.asarray(s)
+    sample = {k: _init_rows(v) for k, v in bundle.splits[init_split].items()}
     # jit the init: eager flax init dispatches op-by-op, which is pathologically
     # slow through a tunneled TPU backend
     if bundle.kind == "tokens":
@@ -709,8 +744,11 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
 
         from ..parallel.mesh import shard_params as _tp_shard
         _rep = NamedSharding(mesh, P())
-        _sh2 = NamedSharding(mesh, P(None, "data"))
-        _sh3 = NamedSharding(mesh, P(None, None, "data"))
+        # under manual EP the batch rows shard over BOTH mesh axes (the
+        # shard_map in models/moe.py expects data*expert-way batch shards)
+        _bax = ("data", "expert") if ep_active else "data"
+        _sh2 = NamedSharding(mesh, P(None, _bax))
+        _sh3 = NamedSharding(mesh, P(None, None, _bax))
         put_rep = lambda t: jax.device_put(t, _rep)  # noqa: E731
         put_idx2 = lambda a: jax.device_put(jnp.asarray(a), _sh2)  # noqa: E731
         put_idx3 = lambda a: jax.device_put(jnp.asarray(a), _sh3)  # noqa: E731

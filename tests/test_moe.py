@@ -144,6 +144,78 @@ def test_train_dp_vs_dpep_equivalence():
     np.testing.assert_allclose(l_dp, l_ep, rtol=1e-3)
 
 
+def test_manual_ep_matches_gspmd_path():
+    """parallel.ep_manual is a communication-schedule change, not a math
+    change: explicit all-to-all dispatch (models/moe.py _manual_ep_ffn)
+    computes the same dispatch tensors and the same per-expert matmul rows.
+    The isolated FFN block is bit-equal in deterministic f32; the full model
+    differs only by XLA fusing the non-MoE ops differently around the
+    shard_map (measured ~2e-8 — f32 noise, not a math difference)."""
+    mesh = make_mesh(expert_shards=2)
+    ffn_a = SwitchFFN(d_model=8, d_ff=16, n_experts=4, capacity_factor=1.25)
+    ffn_m = ffn_a.clone(ep_mesh=mesh)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 8, 8)),
+                    jnp.float32)
+    valid = jnp.asarray(np.random.default_rng(3).random((8, 8)) > 0.2)
+    p = ffn_a.init(jax.random.PRNGKey(0), x, valid, True)["params"]
+    oa, _ = jax.jit(lambda p: ffn_a.apply(
+        {"params": p}, x, valid, True, mutable=["losses"]))(p)
+    om, _ = jax.jit(lambda p: ffn_m.apply(
+        {"params": p}, x, valid, True, mutable=["losses"]))(p)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(om))
+
+    ids, mask = _inputs()  # B=8 = data(4) * expert(2) * 1
+    auto = _model(4)
+    manual = auto.clone(ep_mesh=mesh)
+    params = auto.init(jax.random.PRNGKey(0), ids, mask,
+                       deterministic=True)["params"]
+    out_a = jax.jit(lambda p: auto.apply({"params": p}, ids, mask,
+                                         deterministic=True))(params)
+    out_m = jax.jit(lambda p: manual.apply({"params": p}, ids, mask,
+                                           deterministic=True))(params)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_m),
+                               atol=1e-6)
+
+
+def test_manual_ep_dropout_and_guards():
+    """The manual path trains (its in-region dropout draws a different
+    Bernoulli stream than nn.Dropout — documented contract), and refuses
+    meshes/batches it cannot shard."""
+    ids, mask = _inputs()
+    mesh = make_mesh(expert_shards=2)
+    model = _model(4).clone(ep_mesh=mesh, p_drop=0.2)
+    params = model.init(jax.random.PRNGKey(0), ids, mask,
+                        deterministic=True)["params"]
+    out, state = model.apply({"params": params}, ids, mask,
+                             deterministic=False, mutable=["losses"],
+                             rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(out)).all()
+    # batch must divide over data*expert
+    bad_ids, bad_mask = _inputs(B=6)
+    with pytest.raises(ValueError, match="divide"):
+        model.apply({"params": params}, bad_ids[:6], bad_mask[:6],
+                    deterministic=True)
+
+
+def test_train_dp_vs_manual_ep_equivalence():
+    """The production trainer under parallel.ep_manual matches the pure-DP
+    trajectory (same tolerance as the GSPMD-EP equivalence test)."""
+    root = tempfile.mkdtemp()
+    cfg = _cfg(root, tempfile.mkdtemp(), 4, 2)
+    cfg["parallel"]["ep_manual"] = True
+    r_dp = train(_cfg(root, tempfile.mkdtemp(), 4, 1), "ibtt",
+                 verbose=False, mesh=make_mesh())
+    r_ep = train(cfg, "ibtt", verbose=False, mesh=make_mesh(expert_shards=2))
+    l_dp = [h["train/loss"] for h in r_dp.history]
+    l_ep = [h["train/loss"] for h in r_ep.history]
+    np.testing.assert_allclose(l_dp, l_ep, rtol=1e-3)
+    # ep_manual without an expert axis is a config error
+    cfg_bad = _cfg(root, tempfile.mkdtemp(), 4, 1)
+    cfg_bad["parallel"]["ep_manual"] = True
+    with pytest.raises(ValueError, match="expert_shards"):
+        train(cfg_bad, "ibtt", verbose=False, mesh=make_mesh())
+
+
 def test_expert_shards_requires_moe():
     with pytest.raises(ValueError, match="moe_experts"):
         train(_cfg(tempfile.mkdtemp(), tempfile.mkdtemp(), 0, 2), "ibtt",
