@@ -100,6 +100,11 @@ def get_lib():
     lib.gtok_zinc_vocab_stream.argtypes = [
         i32p, i32p, i64p, f64p, ctypes.c_int32, ctypes.c_int32,
         i64p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
+    # test hook: fast "%.2f" formatter (tests/test_native.py cross-checks
+    # the bytes against Python's f"{y:.2f}")
+    lib.gtok_fmt_2f.restype = ctypes.c_int32
+    lib.gtok_fmt_2f.argtypes = [ctypes.c_double, ctypes.c_char_p,
+                                ctypes.c_int32]
     lib.gtok_edges_lexsorted.restype = ctypes.c_int32
     lib.gtok_edges_lexsorted.argtypes = [i32p, i32p, i64p, ctypes.c_int32]
     lib.gtok_zinc_lmax.restype = ctypes.c_int64

@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -66,6 +67,48 @@ struct Vocab {
   std::string blob;  // owns the token bytes; map keys view into it
   std::unordered_map<std::string_view, int32_t> map;
 };
+
+// Correctly-rounded "%.2f" fast path. snprintf("%.2f") costs ~270ns/call
+// under glibc (locale machinery + exact dtoa) and dominates the ZINC vocab
+// stream's label phase; this integer path is ~10x faster and byte-equal.
+// Math: the exact value of y*100 is p + err with p = y*100 (one rounding)
+// and err = fma(y, 100, -p) (the exact product residual — a double*double
+// product fits in 106 bits, so fma recovers it exactly). Round-half-even of
+// the true product is then nearbyint(p) corrected by the true remainder
+// r = (p - n) + err: p - n is exact for |p| < 2^51 (the remainder is a
+// multiple of ulp(p) <= 0.5), so r misses only err's own last bits.
+// Near-tie cases (|r| within 1e-9 of 0.5, where half-even on the DECIMAL
+// expansion could disagree with the double comparison) return -1 and the
+// caller falls back to snprintf — correctness never rides on the fast path.
+// Returns the formatted length, or -1 to request the snprintf fallback.
+inline int fast_fmt_2f(double y, char* out) {
+  if (!std::isfinite(y)) return -1;              // "nan"/"inf": snprintf's job
+  const double p = y * 100.0;
+  if (std::fabs(p) >= 2.0e15) return -1;         // stay inside exact p-n zone
+  const double err = std::fma(y, 100.0, -p);
+  double n = std::nearbyint(p);                  // half-even (default FE mode)
+  const double r = (p - n) + err;                // true remainder to ~1 ulp
+  const double a = std::fabs(r);
+  if (a > 0.5 - 1e-9) {
+    if (a < 0.5 + 1e-9) return -1;               // near-tie: let snprintf decide
+    n += (r > 0.0) ? 1.0 : -1.0;                 // beyond halfway: bump to n+-1
+  }
+  const long long v = static_cast<long long>(n);
+  unsigned long long mag = static_cast<unsigned long long>(v < 0 ? -v : v);
+  int k = 0;
+  if (std::signbit(y)) out[k++] = '-';           // sign from y: -0.001 -> "-0.00"
+  const unsigned long long ip = mag / 100, fr = mag % 100;
+  char tmp[24];
+  int t = 0;
+  unsigned long long q = ip;
+  do { tmp[t++] = static_cast<char>('0' + q % 10); q /= 10; } while (q);
+  while (t) out[k++] = tmp[--t];
+  out[k++] = '.';
+  out[k++] = static_cast<char>('0' + fr / 10);
+  out[k++] = static_cast<char>('0' + fr % 10);
+  out[k] = '\0';
+  return k;
+}
 
 }  // namespace
 
@@ -355,6 +398,17 @@ int32_t gtok_zinc_encode(
 // Outputs: out_codes[k] = node index i (code i) or max_nodes+1+label_rank;
 // label strings are returned as a '\n'-joined blob in label rank order.
 // Returns the number of ordered unique codes, or -1 if bufs are too small.
+// Test hook for the fast "%.2f" path: formats y into out (fast path, or the
+// snprintf fallback it would take in production) and returns 1 if the fast
+// path produced it, 0 on fallback. tests/test_native.py cross-checks the
+// bytes against Python's f"{y:.2f}" over adversarial values.
+int32_t gtok_fmt_2f(double y, char* out, int32_t cap) {
+  if (cap < 32) return -1;
+  if (fast_fmt_2f(y, out) >= 0) return 1;
+  std::snprintf(out, static_cast<size_t>(cap), "%.2f", y);
+  return 0;
+}
+
 int32_t gtok_zinc_vocab_stream(
     const int32_t* src, const int32_t* dst, const int64_t* edge_off,
     const double* y, int32_t n_mols, int32_t max_nodes,
@@ -373,7 +427,8 @@ int32_t gtok_zinc_vocab_stream(
   parallel_for_shards(n_mols, n_gtok_threads(n_mols), [&](int64_t lo, int64_t hi) {
     char buf[512];
     for (int64_t mol = lo; mol < hi; ++mol) {
-      std::snprintf(buf, sizeof(buf), "%.2f", y[mol]);
+      if (fast_fmt_2f(y[mol], buf) < 0)
+        std::snprintf(buf, sizeof(buf), "%.2f", y[mol]);
       char* s = lab.data() + mol * kLabW;
       int k = 0;
       s[k++] = 'v'; s[k++] = 'a'; s[k++] = 'l'; s[k++] = '_';

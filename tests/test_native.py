@@ -303,3 +303,40 @@ def test_zinc_vocab_stream_out_of_range_node_errors():
     }
     with pytest.raises(RuntimeError):
         native.zinc_vocab_stream_native(flat)
+
+
+def test_fast_fmt_2f_matches_python():
+    """The native fast "%.2f" path (gtok.cpp fast_fmt_2f — fma-exact
+    round-half-even + integer formatting, snprintf fallback for non-finite /
+    huge / near-tie values) is byte-equal to Python's f"{y:.2f}", which is
+    the ZINC label contract (tokenization/ibtt.py zinc_label_token,
+    reference zinc_dataset_indexbase.py:192-193)."""
+    import ctypes
+    import random
+    import struct
+
+    lib = native.get_lib()
+    buf = ctypes.create_string_buffer(1024)
+    rng = random.Random(0)
+    cases = [rng.uniform(-300, 300) for _ in range(500)]
+    cases += [rng.uniform(-3, 3) for _ in range(500)]
+    # classic decimal ties x.xx5 and multiples of 0.005
+    for k in range(-500, 500):
+        cases += [k / 100 + 0.005, k * 0.005]
+    # magnitude sweep incl. the fast path's 2e15 guard boundary
+    for e in range(-10, 17):
+        cases += [rng.uniform(-1, 1) * 10**e for _ in range(50)]
+    # random finite bit patterns
+    for _ in range(1000):
+        y = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))[0]
+        if y == y and abs(y) != float("inf"):
+            cases.append(y)
+    cases += [0.0, -0.0, -0.001, 0.125, -0.125, 2.675, -2.675, 1e15, -1e15,
+              2.0e13, -2.0e13, float("nan"), float("inf"), float("-inf")]
+    n_fast = 0
+    for y in cases:
+        r = lib.gtok_fmt_2f(y, buf, 1024)
+        assert buf.value.decode() == f"{y:.2f}", repr(y)
+        n_fast += r == 1
+    # the fast path must actually engage on the common label range
+    assert n_fast > len(cases) // 3
