@@ -61,7 +61,7 @@ def get_lib():
     # (e.g. copied from another checkout): unlink + force-rebuild so the
     # fresh library lands on a NEW inode — glibc dedups dlopen by dev/inode,
     # so an in-place relink would hand back the cached stale handle
-    if not hasattr(lib, "gtok_zinc_lmax"):
+    if not hasattr(lib, "gtok_fmt_2f"):
         try:
             os.remove(_LIB_PATH)
         except OSError:
@@ -72,7 +72,7 @@ def get_lib():
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "gtok_zinc_lmax"):
+        if not hasattr(lib, "gtok_fmt_2f"):
             return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)

@@ -391,13 +391,6 @@ int32_t gtok_zinc_encode(
 // ZINC dynamic-vocab discovery
 // ---------------------------------------------------------------------------
 
-// Emits the dynamic (out-of-fixed-vocab) tokens of the ZINC IBTT corpus in
-// first-occurrence order: per molecule, node-index tokens in canonical bond
-// emission order (str(u), str(v) per kept edge), then the molecule's
-// 'val_*' label. Mirrors tokenization.ibtt_fast.build_zinc_vocab_fast.
-// Outputs: out_codes[k] = node index i (code i) or max_nodes+1+label_rank;
-// label strings are returned as a '\n'-joined blob in label rank order.
-// Returns the number of ordered unique codes, or -1 if bufs are too small.
 // Test hook for the fast "%.2f" path: formats y into out (fast path, or the
 // snprintf fallback it would take in production) and returns 1 if the fast
 // path produced it, 0 on fallback. tests/test_native.py cross-checks the
@@ -409,6 +402,13 @@ int32_t gtok_fmt_2f(double y, char* out, int32_t cap) {
   return 0;
 }
 
+// Emits the dynamic (out-of-fixed-vocab) tokens of the ZINC IBTT corpus in
+// first-occurrence order: per molecule, node-index tokens in canonical bond
+// emission order (str(u), str(v) per kept edge), then the molecule's
+// 'val_*' label. Mirrors tokenization.ibtt_fast.build_zinc_vocab_fast.
+// Outputs: out_codes[k] = node index i (code i) or max_nodes+1+label_rank;
+// label strings are returned as a '\n'-joined blob in label rank order.
+// Returns the number of ordered unique codes, or -1 if bufs are too small.
 int32_t gtok_zinc_vocab_stream(
     const int32_t* src, const int32_t* dst, const int64_t* edge_off,
     const double* y, int32_t n_mols, int32_t max_nodes,
