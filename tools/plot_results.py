@@ -192,6 +192,75 @@ def comparison_curves(run_dirs, out_dir, metrics=("acc", "loss", "f1"),
 
 
 # ---------------------------------------------------------------------------
+# figure family 1b: reference-torch vs JAX cross-check curves
+# ---------------------------------------------------------------------------
+
+def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
+                                                 "REF_CROSSCHECK_SMALL.json"),
+                      jax_runs=(("default", "runs_ibtt/ibtt-sp_metrics.jsonl"),
+                                ("small", "runs_ibtt/ibtt-sp-small_metrics.jsonl"),
+                                ("default-f32", "runs_ibtt/ibtt-sp-f32_metrics.jsonl")),
+                      out_name="ibtt_sp_crosscheck.png"):
+    """Val-accuracy curves: the reference's own torch ibtt model
+    (tools/ref_crosscheck.py) vs our JAX run, both trained on the SAME
+    corpus at reference HPs. One panel per corpus (default 10-50-node mix,
+    small 10-20 bucket). Two series per panel — reference in blue, ours in
+    the ibtt green of the main comparison figures."""
+    os.makedirs(out_dir, exist_ok=True)
+    ref = {}
+    for p in crosscheck_paths:
+        if os.path.isfile(p):
+            for corpus, rec in json.load(open(p)).items():
+                ref[corpus] = rec
+    jax = {}
+    for corpus, path in jax_runs:
+        if os.path.isfile(path):
+            hist = load_jsonl(path)
+            xy = [(row["epoch"], row["val/acc"]) for row in hist
+                  if "val/acc" in row]
+            if xy:
+                jax[corpus] = xy
+    panels = [c for c in ("default", "small") if c in ref or c in jax]
+    if not panels:
+        print("  (no cross-check data yet)")
+        return None
+    fig, axes = plt.subplots(1, len(panels), figsize=(8 * len(panels), 5.5),
+                             squeeze=False)
+    for ax, corpus in zip(axes[0], panels):
+        if corpus in ref:
+            h = ref[corpus]["val_acc_history"]
+            partial = " (partial)" if ref[corpus].get("partial") else ""
+            ax.plot(range(1, len(h) + 1), h, color="#0173B2", linewidth=2,
+                    label=f"reference torch impl{partial}")
+        plotted_ours = False
+        for key, label in ((corpus, "ours (JAX, bf16)"),
+                           (corpus + "-f32", "ours (JAX, f32)")):
+            if key in jax:
+                x, y = map(np.asarray, zip(*jax[key]))
+                ax.plot(x, y, color="#029E73" if not plotted_ours
+                        else "#56C2A3", linewidth=2, label=label)
+                plotted_ours = True
+        ax.axhline(0.9706, color="#888888", linewidth=1, linestyle=":",
+                   label="reference baseline corpus (0.9706)")
+        ax.set_xlabel("Epoch", fontweight="bold")
+        ax.set_ylabel("Validation accuracy", fontweight="bold")
+        nice = {"default": "default corpus (10-50 nodes)",
+                "small": "small bucket (10-20 nodes)"}[corpus]
+        ax.set_title(f"ibtt shortest_path - {nice}", fontweight="bold")
+        ax.set_ylim(0, 1.05)
+        ax.grid(True, alpha=0.3, linestyle="--", linewidth=0.5)
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        ax.legend(loc="lower right", frameon=True, fontsize=9.5)
+    plt.tight_layout()
+    path = os.path.join(out_dir, out_name)
+    plt.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    print(f"  ✓ {path}")
+    return path
+
+
+# ---------------------------------------------------------------------------
 # figure family 2: task label distributions (create_label_distribution_plots)
 # ---------------------------------------------------------------------------
 
@@ -360,7 +429,8 @@ def zinc_distribution_plots(out_dir, zinc_root="./data/ZINC", limit=2000):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["curves", "labels", "zinc", "all"])
+    ap.add_argument("mode", choices=["curves", "labels", "zinc", "crosscheck",
+                                     "all"])
     ap.add_argument("run_dirs", nargs="*", default=[])
     ap.add_argument("--out", default="figures")
     ap.add_argument("--data-root", default="data/graph-token")
@@ -375,6 +445,8 @@ def main() -> None:
         label_distribution_plots(args.out, data_root=args.data_root)
     if args.mode in ("zinc", "all"):
         zinc_distribution_plots(args.out, zinc_root=args.zinc_root)
+    if args.mode in ("crosscheck", "all"):
+        crosscheck_curves(args.out)
 
 
 if __name__ == "__main__":
