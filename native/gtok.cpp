@@ -190,98 +190,151 @@ int32_t gtok_encode_texts(const void* vocab, const char* buf,
 // when a trail starts at an already-seen vertex, RADJ when a trail's end
 // vertex starts a later trail; isolated nodes as singleton trails; EOS;
 // truncation keeps EOS.
+// Reusable per-thread workspace: the per-graph cost at molecule scale
+// (~25 nodes / ~27 unique edges) was dominated by heap churn — a
+// vector-of-vectors adjacency, two hash sets, and per-trail vectors, all
+// allocated per graph. Flat CSR + bitmaps + flattened trail storage in a
+// scratch that persists across a thread's shard keeps the walk
+// allocation-free after warm-up. The walk ORDER is unchanged (bit-exact vs
+// tokenization/sent.py, tests/test_native.py): same first-occurrence edge
+// dedup, same (neighbor, edge index) adjacency order, same start selection,
+// same greedy pointer advance.
+struct SentScratch {
+  std::vector<int32_t> eu, ev, eb;             // unique undirected edges
+  std::vector<uint64_t> pair_bits;             // dedup bitmap (lo*n+hi)
+  std::unordered_set<int64_t> pair_set;        // fallback for huge n
+  std::vector<int32_t> adj_off;                // CSR offsets [n+1]
+  std::vector<int64_t> adj_pack;               // (neighbor<<32 | edge idx)
+  std::vector<int32_t> ptr, remaining, deg;
+  std::vector<uint8_t> used, seen_node;
+  std::vector<int32_t> tn, te, t_off;          // trails, flattened
+};
+
 static void sent_one(const int32_t* src, const int32_t* dst,
                      const int32_t* elab, int64_t n_edges, int32_t n_nodes,
                      const int32_t* nlab, int32_t labeled, int32_t idx_offset,
                      int32_t node_idx_offset, int32_t edge_idx_offset,
-                     int32_t trunc_len, std::vector<int32_t>& out) {
-  // unique undirected edges, first occurrence
-  std::unordered_set<int64_t> seen_e;
-  std::vector<int32_t> eu, ev, eb;
-  eu.reserve(n_edges);
+                     int32_t trunc_len, std::vector<int32_t>& out,
+                     SentScratch& ws) {
+  // unique undirected edges, first occurrence. Pair dedup through a bitmap
+  // when n^2 bits is small (every benchmark graph; <=512KB), else the hash
+  // set — identical acceptance order either way.
+  const int64_t n2 = static_cast<int64_t>(n_nodes) * n_nodes;
+  const bool small = n2 <= (1LL << 22);
+  ws.eu.clear(); ws.ev.clear(); ws.eb.clear();
+  if (small) {
+    ws.pair_bits.assign(static_cast<size_t>((n2 + 63) / 64), 0);
+  } else {
+    ws.pair_set.clear();
+  }
   for (int64_t i = 0; i < n_edges; ++i) {
-    int32_t a = src[i], b = dst[i];
-    int64_t lo = a < b ? a : b, hi = a < b ? b : a;
-    int64_t key = lo * 1000003 + hi;
-    if (seen_e.count(key)) continue;
-    seen_e.insert(key);
-    eu.push_back(a);
-    ev.push_back(b);
-    eb.push_back(elab ? elab[i] : 1);
+    const int32_t a = src[i], b = dst[i];
+    const int64_t lo = a < b ? a : b, hi = a < b ? b : a;
+    if (small) {
+      const int64_t key = lo * n_nodes + hi;
+      uint64_t& w = ws.pair_bits[static_cast<size_t>(key >> 6)];
+      const uint64_t bit = 1ULL << (key & 63);
+      if (w & bit) continue;
+      w |= bit;
+    } else {
+      if (!ws.pair_set.insert(lo * 1000003 + hi).second) continue;
+    }
+    ws.eu.push_back(a);
+    ws.ev.push_back(b);
+    ws.eb.push_back(elab ? elab[i] : 1);
   }
-  int32_t m = static_cast<int32_t>(eu.size());
+  const int32_t m = static_cast<int32_t>(ws.eu.size());
 
-  // adjacency lists sorted ascending by (neighbor, edge index)
-  std::vector<std::vector<std::pair<int32_t, int32_t>>> adj(n_nodes);
-  for (int32_t i = 0; i < m; ++i) {
-    adj[eu[i]].push_back({ev[i], i});
-    adj[ev[i]].push_back({eu[i], i});
-  }
-  for (auto& a : adj) std::sort(a.begin(), a.end());
-
-  std::vector<uint8_t> used(m, 0);
-  std::vector<int32_t> ptr(n_nodes, 0), remaining(n_nodes, 0), deg(n_nodes, 0);
+  // CSR adjacency sorted ascending by (neighbor, edge index): count, prefix,
+  // fill, then sort each node's segment of packed (neighbor<<32 | edge) keys
+  ws.deg.assign(n_nodes, 0);
+  for (int32_t i = 0; i < m; ++i) { ++ws.deg[ws.eu[i]]; ++ws.deg[ws.ev[i]]; }
+  ws.adj_off.resize(n_nodes + 1);
+  ws.adj_off[0] = 0;
   for (int32_t u = 0; u < n_nodes; ++u)
-    deg[u] = remaining[u] = static_cast<int32_t>(adj[u].size());
+    ws.adj_off[u + 1] = ws.adj_off[u] + ws.deg[u];
+  ws.adj_pack.resize(2 * m);
+  {
+    std::vector<int32_t>& fill = ws.ptr;  // reuse as fill cursor
+    fill.assign(ws.adj_off.begin(), ws.adj_off.end() - 1);
+    for (int32_t i = 0; i < m; ++i) {
+      const int64_t u = ws.eu[i], v = ws.ev[i];
+      ws.adj_pack[fill[u]++] = (v << 32) | static_cast<uint32_t>(i);
+      ws.adj_pack[fill[v]++] = (u << 32) | static_cast<uint32_t>(i);
+    }
+  }
+  for (int32_t u = 0; u < n_nodes; ++u)
+    std::sort(ws.adj_pack.begin() + ws.adj_off[u],
+              ws.adj_pack.begin() + ws.adj_off[u + 1]);
 
-  // trail decomposition
-  std::vector<std::vector<int32_t>> trails_n, trails_e;
+  ws.used.assign(m, 0);
+  ws.ptr.assign(n_nodes, 0);
+  ws.remaining.assign(ws.deg.begin(), ws.deg.end());
+
+  // trail decomposition into flat (t_off-indexed) node/edge sequences;
+  // trail t's nodes are tn[t_off[t] .. t_off[t+1]) and its edges are the
+  // same range minus one (te grows one behind tn)
+  ws.tn.clear(); ws.te.clear(); ws.t_off.assign(1, 0);
   int64_t rem_total = 2LL * m;
   while (rem_total > 0) {
     int32_t start = -1;
     for (int32_t u = 0; u < n_nodes; ++u)
-      if (remaining[u] > 0 && (remaining[u] % 2) == 1) { start = u; break; }
+      if (ws.remaining[u] > 0 && (ws.remaining[u] % 2) == 1) { start = u; break; }
     if (start < 0)
       for (int32_t u = 0; u < n_nodes; ++u)
-        if (remaining[u] > 0) { start = u; break; }
-    std::vector<int32_t> tn{start}, te;
+        if (ws.remaining[u] > 0) { start = u; break; }
+    ws.tn.push_back(start);
     int32_t cur = start;
     for (;;) {
       int32_t nxt = -1, ei = -1;
-      while (ptr[cur] < static_cast<int32_t>(adj[cur].size())) {
-        auto [v, e] = adj[cur][ptr[cur]];
-        if (!used[e]) { nxt = v; ei = e; break; }
-        ++ptr[cur];
+      while (ws.ptr[cur] < ws.deg[cur]) {
+        const int64_t pk = ws.adj_pack[ws.adj_off[cur] + ws.ptr[cur]];
+        const int32_t e = static_cast<int32_t>(pk & 0xffffffff);
+        if (!ws.used[e]) { nxt = static_cast<int32_t>(pk >> 32); ei = e; break; }
+        ++ws.ptr[cur];
       }
       if (nxt < 0) break;
-      used[ei] = 1;
-      remaining[cur]--; remaining[nxt]--; rem_total -= 2;
-      tn.push_back(nxt);
-      te.push_back(ei);
+      ws.used[ei] = 1;
+      ws.remaining[cur]--; ws.remaining[nxt]--; rem_total -= 2;
+      ws.tn.push_back(nxt);
+      ws.te.push_back(ei);
       cur = nxt;
     }
-    trails_n.push_back(std::move(tn));
-    trails_e.push_back(std::move(te));
+    ws.t_off.push_back(static_cast<int32_t>(ws.tn.size()));
   }
   for (int32_t u = 0; u < n_nodes; ++u)
-    if (deg[u] == 0) { trails_n.push_back({u}); trails_e.push_back({}); }
+    if (ws.deg[u] == 0) {
+      ws.tn.push_back(u);
+      ws.t_off.push_back(static_cast<int32_t>(ws.tn.size()));
+    }
 
   // emission
   out.clear();
   out.push_back(SOS);
-  std::unordered_set<int32_t> seen_nodes;
-  size_t nt = trails_n.size();
+  ws.seen_node.assign(n_nodes, 0);
+  const size_t nt = ws.t_off.size() - 1;
   for (size_t t = 0; t < nt; ++t) {
-    const auto& tn = trails_n[t];
-    const auto& te = trails_e[t];
+    const int32_t lo = ws.t_off[t], hi = ws.t_off[t + 1];
+    const int32_t te_base = lo - static_cast<int32_t>(t);  // te skips trail heads
     if (t > 0) {
       out.push_back(RESET);
-      if (seen_nodes.count(tn[0])) out.push_back(LADJ);
+      if (ws.seen_node[ws.tn[lo]]) out.push_back(LADJ);
     }
-    out.push_back(idx_offset + tn[0]);
-    if (labeled && nlab) out.push_back(node_idx_offset + nlab[tn[0]]);
-    seen_nodes.insert(tn[0]);
-    for (size_t k = 1; k < tn.size(); ++k) {
-      if (labeled) out.push_back(edge_idx_offset + eb[te[k - 1]] - 1);
-      out.push_back(idx_offset + tn[k]);
-      if (labeled && nlab) out.push_back(node_idx_offset + nlab[tn[k]]);
-      seen_nodes.insert(tn[k]);
+    out.push_back(idx_offset + ws.tn[lo]);
+    if (labeled && nlab) out.push_back(node_idx_offset + nlab[ws.tn[lo]]);
+    ws.seen_node[ws.tn[lo]] = 1;
+    for (int32_t k = lo + 1; k < hi; ++k) {
+      if (labeled)
+        out.push_back(edge_idx_offset + ws.eb[ws.te[te_base + (k - lo - 1)]] - 1);
+      out.push_back(idx_offset + ws.tn[k]);
+      if (labeled && nlab) out.push_back(node_idx_offset + nlab[ws.tn[k]]);
+      ws.seen_node[ws.tn[k]] = 1;
     }
     if (t + 1 < nt) {
-      int32_t last = tn.back();
+      const int32_t last = ws.tn[hi - 1];
       bool radj = false;
       for (size_t u = t + 1; u < nt; ++u)
-        if (trails_n[u][0] == last) { radj = true; break; }
+        if (ws.tn[ws.t_off[u]] == last) { radj = true; break; }
       if (radj) out.push_back(RADJ);
     }
   }
@@ -309,12 +362,13 @@ int32_t gtok_sent_tokenize_batch(
       n_graphs, n_gtok_threads(n_graphs, /*min_per_thread=*/256),
       [&](int64_t lo, int64_t hi) {
         std::vector<int32_t> buf;
+        SentScratch ws;  // reused across the shard: allocation-free after warm-up
         for (int64_t g = lo; g < hi; ++g) {
           int64_t es = edge_off[g], ee = edge_off[g + 1];
           const int32_t* gl = (labeled && nlab) ? nlab + node_off[g] : nullptr;
           sent_one(src + es, dst + es, elab ? elab + es : nullptr, ee - es,
                    num_nodes[g], gl, labeled, idx_offset, node_idx_offset,
-                   edge_idx_offset, trunc_len, buf);
+                   edge_idx_offset, trunc_len, buf, ws);
           int32_t* row = out_tokens + g * trunc_len;
           int32_t len = static_cast<int32_t>(buf.size());
           std::memcpy(row, buf.data(), sizeof(int32_t) * len);
