@@ -340,3 +340,40 @@ def test_fast_fmt_2f_matches_python():
         n_fast += r == 1
     # the fast path must actually engage on the common label range
     assert n_fast > len(cases) // 3
+
+
+def test_sent_native_fuzz_adversarial_graphs():
+    """Random graphs stressing the walker's scratch reuse: duplicate and
+    mirrored edges (dedup bitmap), isolated nodes (singleton trails),
+    multi-component graphs, n=1. Bit-identical to the Python TrailTokenizer
+    in both labeled and unlabeled modes."""
+    from glearning_benchmark_tpu.data.generator import Graph
+
+    rng = np.random.default_rng(7)
+    graphs = []
+    for trial in range(120):
+        n = int(rng.integers(1, 60))
+        e = int(rng.integers(0, max(1, n * 3)))
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        keep = src != dst
+        edges = np.stack([src[keep], dst[keep]], 1).astype(np.int32)
+        if len(edges) and trial % 3 == 0:  # mirrors + duplicates
+            edges = np.concatenate([edges, edges[::-1][:, ::-1], edges[:3]])
+        graphs.append(Graph(
+            edges=edges, num_nodes=n, y=0.0,
+            node_labels=rng.integers(0, 9, n).astype(np.int32),
+            edge_labels=rng.integers(1, 5, len(edges)).astype(np.int32)))
+    for labeled in (False, True):
+        tok = TrailTokenizer(max_length=700, truncation_length=700,
+                             labeled_graph=labeled)
+        tok.set_num_nodes(max(g.num_nodes for g in graphs))
+        kw = dict(labeled=labeled)
+        if labeled:
+            tok.set_num_node_and_edge_types(9, 4)
+            kw.update(node_idx_offset=tok.node_idx_offset,
+                      edge_idx_offset=tok.edge_idx_offset)
+        ids, lens = native.sent_tokenize_batch_native(
+            graphs, tok.idx_offset, 700, **kw)
+        for i, g in enumerate(graphs):
+            np.testing.assert_array_equal(tok(g), ids[i, :lens[i]])
