@@ -196,9 +196,11 @@ def comparison_curves(run_dirs, out_dir, metrics=("acc", "loss", "f1"),
 # ---------------------------------------------------------------------------
 
 def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
-                                                 "REF_CROSSCHECK_SMALL.json"),
+                                                 "REF_CROSSCHECK_SMALL.json",
+                                                 "REF_CROSSCHECK_MEDIUM.json"),
                       jax_runs=(("default", "runs_ibtt/ibtt-sp_metrics.jsonl"),
                                 ("small", "runs_ibtt/ibtt-sp-small_metrics.jsonl"),
+                                ("medium", "runs_ibtt/ibtt-sp-medium_metrics.jsonl"),
                                 ("default-f32", "runs_ibtt/ibtt-sp-f32_metrics.jsonl")),
                       out_name="ibtt_sp_crosscheck.png"):
     """Val-accuracy curves: the reference's own torch ibtt model
@@ -220,7 +222,8 @@ def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
                   if "val/acc" in row]
             if xy:
                 jax[corpus] = xy
-    panels = [c for c in ("default", "small") if c in ref or c in jax]
+    panels = [c for c in ("small", "medium", "default")
+              if c in ref or c in jax]
     if not panels:
         print("  (no cross-check data yet)")
         return None
@@ -245,7 +248,8 @@ def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
         ax.set_xlabel("Epoch", fontweight="bold")
         ax.set_ylabel("Validation accuracy", fontweight="bold")
         nice = {"default": "default corpus (10-50 nodes)",
-                "small": "small bucket (10-20 nodes)"}[corpus]
+                "small": "small bucket (10-20 nodes)",
+                "medium": "medium bucket (20-40 nodes)"}[corpus]
         ax.set_title(f"ibtt shortest_path - {nice}", fontweight="bold")
         ax.set_ylim(0, 1.05)
         ax.grid(True, alpha=0.3, linestyle="--", linewidth=0.5)
