@@ -37,6 +37,23 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return tree
 
 
+def serving_meta(model_name: str, bundle) -> Dict[str, Any]:
+    """JSON block embedded in checkpoints so serve.Predictor can rebuild
+    the model and its tokenizers without the training corpus: everything
+    build_model and the input encoders read off the DatasetBundle."""
+    return {
+        "model_name": model_name,
+        "task": bundle.task,
+        "kind": bundle.kind,
+        "num_classes": int(bundle.num_classes),
+        "vocab_size": int(bundle.vocab_size),
+        "q_token_id": None if bundle.q_token_id is None else int(bundle.q_token_id),
+        "in_dim": int(bundle.in_dim),
+        "meta": {k: (int(v) if isinstance(v, (int, np.integer)) else v)
+                 for k, v in bundle.meta.items()},
+    }
+
+
 def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {}
@@ -45,7 +62,7 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
         if state.get(section) is not None:
             flat = _flatten(state[section], f"{section}/")
             arrays.update(flat)
-    for k in ("epoch", "best_val", "config", "vocab"):
+    for k in ("epoch", "best_val", "config", "vocab", "serve"):
         if k in state and state[k] is not None:
             meta[k] = state[k]
     np.savez_compressed(path + ".npz", **arrays)

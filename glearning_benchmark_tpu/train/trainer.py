@@ -43,7 +43,7 @@ from ..models.mpnn import MPNN
 from ..models.transformer import SimpleTransformer
 from ..parallel.mesh import make_mesh
 from ..tokenization.vocab import SPECIAL
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint, serving_meta
 from .datasets import (
     QUERY_OFFSETS,
     QUERY_TASKS,
@@ -933,7 +933,8 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                             {"params": best_params, "batch_stats": best_bs,
                              "opt_state": best_opt,
                              "epoch": epoch + blk_ep, "best_val": best_val,
-                             "config": config, "vocab": bundle.vocab})
+                             "config": config, "vocab": bundle.vocab,
+                             "serve": serving_meta(model_name, bundle)})
         # parameter histograms at block boundaries (wandb.watch parity);
         # no-op without wandb, so the jitted loop never syncs for it
         logger.log_param_histograms(params, step=epoch + k - 1)
