@@ -49,7 +49,9 @@ def _next_pow2(n: int, cap: int) -> int:
     b = 1
     while b < min(n, cap):
         b <<= 1
-    return b
+    # a non-power-of-two cap must stay the hard bucket ceiling (n <= cap
+    # always holds here, so the clamped bucket still fits every row)
+    return min(b, cap)
 
 
 class Predictor:
