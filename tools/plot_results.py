@@ -222,8 +222,19 @@ def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
                   if "val/acc" in row]
             if xy:
                 jax[corpus] = xy
+    # fallback when the per-epoch JAX logs aren't on disk: the committed
+    # ablation summaries (ABLATIONS.json) carry best-val per corpus, drawn
+    # as a level line so the torch-vs-JAX comparison stays in one figure
+    jax_best = {}
+    if os.path.isfile("ABLATIONS.json"):
+        abl = json.load(open("ABLATIONS.json"))
+        for key, corpus in (("ibtt-sp-small", "small"),
+                            ("ibtt-sp-medium", "medium"),
+                            ("ibtt-sp-f32", "default")):
+            if corpus not in jax and key in abl:
+                jax_best[corpus] = float(abl[key]["best_val"])
     panels = [c for c in ("small", "medium", "default")
-              if c in ref or c in jax]
+              if c in ref or c in jax or c in jax_best]
     if not panels:
         print("  (no cross-check data yet)")
         return None
@@ -243,6 +254,11 @@ def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
                 ax.plot(x, y, color="#029E73" if not plotted_ours
                         else "#56C2A3", linewidth=2, label=label)
                 plotted_ours = True
+        if not plotted_ours and corpus in jax_best:
+            ax.axhline(jax_best[corpus], color="#029E73", linewidth=2,
+                       linestyle="--",
+                       label=f"ours best val (ABLATIONS.json, "
+                             f"{jax_best[corpus]:.3f})")
         ax.axhline(0.9706, color="#888888", linewidth=1, linestyle=":",
                    label="reference baseline corpus (0.9706)")
         ax.set_xlabel("Epoch", fontweight="bold")
