@@ -299,6 +299,18 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"\nwrote {args.out} / {out_md}", flush=True)
 
+    # regenerate the reference-schema W&B CSV exports (figures_data parity;
+    # reference figures/README.md:139-153) from whatever run dirs now exist
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from export_csv import DEFAULT_RUN_DIRS, export_all
+        written = export_all([d for d in DEFAULT_RUN_DIRS if os.path.isdir(d)],
+                             "figures_data")
+        if written:
+            print(f"wrote {len(written)} figures_data CSVs", flush=True)
+    except Exception as e:  # export failure must not fail the campaign
+        print(f"[warn] figures_data export failed: {e}", flush=True)
+
 
 if __name__ == "__main__":
     main()
