@@ -26,7 +26,8 @@ reference snapshot) is defined here as a *deterministic* SENT variant:
 - emit SOS, then the first trail's node positions; each subsequent trail is
   prefixed with RESET; a trail whose start vertex already appeared earlier in
   the token stream is additionally marked LADJ (left-adjacency repair) and
-  one whose end vertex has unconsumed edges remaining is marked RADJ;
+  one whose end vertex reappears as a *later* trail's start vertex is marked
+  RADJ (right-adjacency repair) — see the emission at the RADJ comment below;
 - labeled graphs interleave labels: pos(v0) lab(v0) elab(e01) pos(v1)
   lab(v1) ...;
 - isolated nodes are emitted after a RESET as bare positions; EOS terminates;

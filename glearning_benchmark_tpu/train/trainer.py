@@ -357,6 +357,25 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
         _, stats = jax.lax.scan(step, None, (idx, valid))
         return jax.tree.map(lambda s: s.sum(axis=0), stats)
 
+    def grad_probe(params, batch_stats, arrays, bidx, bvalid, rng):
+        # one training batch's per-layer gradients — sampled at dispatch-block
+        # boundaries for wandb.watch(log="all") gradient-histogram parity
+        # (reference train_ibtt.py:450-453); never called without wandb
+        batch = gather(arrays, bidx)
+
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            logits, _, aux = _apply_model(model, variables, batch, bundle, True, rng, pp)
+            lg, y, lvalid = _loss_inputs(logits, batch, bvalid)
+            loss, _ = _loss_and_stats(lg, y, lvalid, task, num_classes)
+            if aux is not None:
+                loss = loss + moe_aux_weight * aux
+            return loss
+
+        return jax.grad(loss_fn)(params)
+
     zinc = task == "zinc"
 
     def _val_metric(va_stats):
@@ -406,7 +425,8 @@ def make_epoch_fns(model, bundle: DatasetBundle, tx, task: str, num_classes: int
                 b_params, b_bs, b_opt, b_metric, b_ep)
 
     return (jax.jit(train_block, donate_argnums=(0, 1, 2)),
-            jax.jit(eval_core))
+            jax.jit(eval_core),
+            jax.jit(grad_probe))
 
 
 def make_batches(n: int, batch_size: int, rng: np.random.Generator | None,
@@ -498,21 +518,31 @@ class RunLogger:
         if self.wandb:
             self.wandb.log({key: self.wandb.Table(columns=columns, data=data)})
 
-    def log_param_histograms(self, params, step: Optional[int] = None):
-        """Per-layer weight histograms — the parameter half of the
-        reference's wandb.watch(log="all") (train_ibtt.py:450-453). No-op
-        (and no device sync) without wandb."""
+    def _log_tree_histograms(self, tree, prefix: str, step: Optional[int]):
         if not self.wandb:
             return
-        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
         hists = {}
         for path, leaf in flat:
             name = "/".join(getattr(p, "key", str(getattr(p, "idx", p)))
                             for p in path)
-            hists[f"parameters/{name}"] = self.wandb.Histogram(
+            hists[f"{prefix}/{name}"] = self.wandb.Histogram(
                 np.asarray(leaf).ravel())
         if hists:
             self.wandb.log(hists if step is None else {**hists, "epoch": step})
+
+    def log_param_histograms(self, params, step: Optional[int] = None):
+        """Per-layer weight histograms — the parameter half of the
+        reference's wandb.watch(log="all") (train_ibtt.py:450-453). No-op
+        (and no device sync) without wandb."""
+        self._log_tree_histograms(params, "parameters", step)
+
+    def log_grad_histograms(self, grads, step: Optional[int] = None):
+        """Per-layer gradient histograms — the gradient half of the
+        reference's wandb.watch(log="all") (train_ibtt.py:450-453), sampled
+        from one training batch per dispatch block (watch's log_freq=100
+        sampling analog). No-op without wandb."""
+        self._log_tree_histograms(grads, "gradients", step)
 
     def finish(self):
         self._f.close()
@@ -747,9 +777,11 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         # under manual EP the batch rows shard over BOTH mesh axes (the
         # shard_map in models/moe.py expects data*expert-way batch shards)
         _bax = ("data", "expert") if ep_active else "data"
+        _sh1 = NamedSharding(mesh, P(_bax))
         _sh2 = NamedSharding(mesh, P(None, _bax))
         _sh3 = NamedSharding(mesh, P(None, None, _bax))
         put_rep = lambda t: jax.device_put(t, _rep)  # noqa: E731
+        put_idx1 = lambda a: jax.device_put(jnp.asarray(a), _sh1)  # noqa: E731
         put_idx2 = lambda a: jax.device_put(jnp.asarray(a), _sh2)  # noqa: E731
         put_idx3 = lambda a: jax.device_put(jnp.asarray(a), _sh3)  # noqa: E731
         put_params = lambda p: _tp_shard(mesh, p)  # noqa: E731
@@ -761,13 +793,14 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             batch_stats = put_rep(batch_stats)
     else:
         put_rep = lambda t: t  # noqa: E731
+        put_idx1 = jnp.asarray
         put_idx2 = jnp.asarray
         put_idx3 = jnp.asarray
         put_params = lambda p: p  # noqa: E731
     dev_splits = {s: {k: put_rep(jnp.asarray(v)) for k, v in arrays.items()}
                   for s, arrays in host_splits.items()}
 
-    train_ep, eval_ep = make_epoch_fns(
+    train_ep, eval_ep, grad_probe = make_epoch_fns(
         model, bundle, tx, task, num_classes, pp=pp_ctx,
         moe_aux_weight=float(config.get("model", {}).get(
             "moe_aux_weight", 0.01)))
@@ -888,6 +921,10 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                 "throughput/graphs_per_sec": n_train_examples / dur if dur > 0 else 0.0,
                 "memory/device_mb": _device_memory_mb(),
             }
+            # the reference's key name (train_ibtt.py:514) is emitted as an
+            # alias so downstream W&B tooling keyed on it keeps working;
+            # "gpu" is a misnomer on TPU, hence the canonical device_mb twin
+            log["memory/gpu_allocated_mb"] = log["memory/device_mb"]
             if "grad_norm" in tr:
                 log["train/grad_norm"] = tr["grad_norm"]
             if task == "zinc":
@@ -935,9 +972,17 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                              "epoch": epoch + blk_ep, "best_val": best_val,
                              "config": config, "vocab": bundle.vocab,
                              "serve": serving_meta(model_name, bundle)})
-        # parameter histograms at block boundaries (wandb.watch parity);
-        # no-op without wandb, so the jitted loop never syncs for it
+        # parameter + gradient histograms at block boundaries (wandb.watch
+        # log="all" parity); no-op without wandb, so the jitted loop never
+        # syncs (and the grad probe never runs) for it
         logger.log_param_histograms(params, step=epoch + k - 1)
+        if logger.wandb:
+            rng, probe_rng = jax.random.split(rng)
+            grads = grad_probe(params, batch_stats, dev_splits["train"],
+                               put_idx1(idx_k[-1, 0]),
+                               put_idx1(np.ascontiguousarray(valid_k[-1, 0])),
+                               probe_rng)
+            logger.log_grad_histograms(grads, step=epoch + k - 1)
         epoch += k
 
     total_time = time.time() - t0

@@ -8,6 +8,7 @@ from glearning_benchmark_tpu.train.trainer import train
 
 COMMON = {"epoch", "train/loss", "val/loss", "lr", "time/epoch_duration",
           "throughput/graphs_per_sec", "memory/device_mb",
+          "memory/gpu_allocated_mb",  # reference key name (train_ibtt.py:514)
           "efficiency/time_per_metric_unit"}
 CLS = {"train/acc", "val/acc", "train/precision", "val/precision",
        "train/recall", "val/recall", "train/f1", "val/f1"}

@@ -82,7 +82,7 @@ def test_block_dispatch_best_epoch_is_exact(tmp_path):
     bundle = build_dataset("ibtt", cfg["dataset"], seed=0)
     model = build_model("ibtt", cfg, bundle)
     tx = optax.adamw(1e-3)
-    _, eval_ep = make_epoch_fns(model, bundle, tx, bundle.task, bundle.num_classes)
+    _, eval_ep, _ = make_epoch_fns(model, bundle, tx, bundle.task, bundle.num_classes)
     vidx, vvalid = make_batches(bundle.n("val"), cfg["train"]["batch_size"], None)
     arrays = {k: jnp.asarray(v) for k, v in bundle.splits["val"].items()}
     params = jax.tree.map(jnp.asarray, ckpt["params"])

@@ -126,3 +126,46 @@ def test_train_zinc_edge_features(model_name, tmp_path):
     res = train(cfg, model_name, verbose=False, limit=48)
     assert res.history[-1]["train/loss"] < res.history[0]["train/loss"]
     assert np.isfinite(res.best_val)
+
+
+def test_wandb_gradient_and_param_histograms(corpus_root, tmp_path, monkeypatch):
+    """The wandb.watch(log="all") parity path: with wandb active the engine
+    logs per-layer parameter AND gradient histograms at dispatch-block
+    boundaries (reference train_ibtt.py:450-453). Exercised via a stub wandb
+    module so the real call site (grad probe shapes included) runs."""
+    import sys
+    import types
+
+    logged = []
+
+    class _Hist:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+            assert np.all(np.isfinite(self.arr))
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: None
+    fake.log = lambda d: logged.append(d)
+    fake.watch = lambda *a, **kw: None
+    fake.finish = lambda: None
+    fake.Histogram = _Hist
+    fake.Image = lambda *a, **kw: None
+    fake.Table = lambda *a, **kw: None
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    cfg = _config(corpus_root, str(tmp_path), epochs=2)
+    cfg["wandb"] = {"use": True, "project": "t"}
+    train(cfg, "ibtt", verbose=False)
+
+    param_keys = {k for d in logged for k in d if k.startswith("parameters/")}
+    grad_keys = {k for d in logged for k in d if k.startswith("gradients/")}
+    assert param_keys, "no parameter histograms logged"
+    assert grad_keys, "no gradient histograms logged"
+    # per-layer parity: every parameter leaf has a matching gradient leaf
+    assert {k.split("/", 1)[1] for k in param_keys} == \
+        {k.split("/", 1)[1] for k in grad_keys}
+    # epoch-log schema carries both memory keys (device_mb + reference alias)
+    epoch_rows = [d for d in logged if "memory/device_mb" in d]
+    assert epoch_rows and all(
+        d["memory/gpu_allocated_mb"] == d["memory/device_mb"]
+        for d in epoch_rows)

@@ -82,7 +82,7 @@ def discover(run_dirs) -> List[dict]:
             ds = cfg.get("dataset", cfg.get("data", {})) or {}
             task = ds.get("task") or "?"
             dataset = "+".join(ds.get("train_algorithms", []) or [])
-            model = _model_from_dir(cfg.get("output", {}).get("out_dir", d)) \
+            model = _model_from_dir((cfg.get("output") or {}).get("out_dir", d)) \
                 or _model_from_dir(d) or "?"
             history = [r for r in load_jsonl(mpath) if "epoch" in r]
             if history:
@@ -118,6 +118,11 @@ def export_task_metric(runs: List[dict], task: str, metric: str,
             if not vals:
                 continue
             col = column_name(run, split, metric)
+            # seed repeats of one config collide on the column name; W&B
+            # disambiguates by run name — suffix like it does rather than
+            # silently double-writing one run and dropping the other
+            if col in series:
+                col = f"{col} [{run['name']}]"
             cols.append(col)
             series[col] = vals
     if not cols:
