@@ -34,15 +34,43 @@ SHAPES = [
 ]
 
 
-def bench(fn, args, reps=20, warmup=3):
+def bench(fn, args, steps=100, reps=3):
+    """Per-invocation seconds for ``fn(*args)``, measured as a jitted
+    lax.scan of ``steps`` *dependent* invocations per dispatch, timed by a
+    host value fetch.
+
+    Round-2's per-call block_until_ready timing produced mutually
+    inconsistent rows through the tunneled backend (VERDICT r2 weak #4:
+    0.076ms vs 28.7ms at the same shape) — the same async-ack failure mode
+    as the old MFU bench. The scan carries a scalar derived from each
+    output into a numerically-neutral perturbation of q (x * (1 + c*1e-30)
+    rounds to x, but XLA cannot fold a dynamic multiplier), so iterations
+    cannot be hoisted or elided, and np.asarray on the final carry cannot
+    return before the device finished."""
     import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    import jax.numpy as jnp
+    import numpy as np
+
+    def one(carry, _):
+        scale = (jnp.float32(1) + carry * jnp.float32(1e-30))
+        q = (args[0].astype(jnp.float32) * scale).astype(args[0].dtype)
+        out = fn(q, *args[1:])
+        leaf = jax.tree.leaves(out)[0]
+        return leaf.ravel()[0].astype(jnp.float32), ()
+
+    @jax.jit
+    def k_steps(c0):
+        c, _ = jax.lax.scan(one, c0, None, length=steps)
+        return c
+
+    c0 = jnp.float32(0.0)
+    float(np.asarray(k_steps(c0)))  # compile + warm-up dispatch
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        r = k_steps(c0)
+        float(np.asarray(r))  # device-dependent fetch: cannot ack early
+        best = min(best, (time.perf_counter() - t0) / steps)
     return best
 
 

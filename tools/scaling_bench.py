@@ -84,6 +84,7 @@ def child_main(pid: int, nproc: int, port: int, n_mols: int, reps: int) -> None:
     t_vocab = float("inf")
     t_tok = float("inf")
     vocab_size = 0
+    tok_touched = 0
     for _ in range(reps):
         sync()
         t0 = time.perf_counter()
@@ -99,11 +100,68 @@ def child_main(pid: int, nproc: int, port: int, n_mols: int, reps: int) -> None:
         sync()
         t_tok = min(t_tok, time.perf_counter() - t0)
         vocab_size = len(vocab)
+        # lower bound on per-host memory traffic in the tokenize phase:
+        # flat corpus arrays read + ids written (+re-read) + packed written
+        tok_touched = (sum(a.nbytes for a in flat.values())
+                       + 2 * ids.nbytes + packed.nbytes)
 
     print(json.dumps({"pid": pid, "n": nproc, "mols": len(mols),
                       "t_vocab": t_vocab, "t_tok": t_tok,
                       "vocab_size": vocab_size,
+                      "tok_touched_bytes": int(tok_touched),
                       "stream_bytes": stream_bytes}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# STREAM-style DRAM ceiling (VERDICT r2 #3): measure this box's shared
+# memory-bandwidth limit directly so the N=4 efficiency drop is a number,
+# not a sentence. Each child copies a buffer far larger than LLC; the
+# parent sums achieved bytes/s across N concurrent pinned children.
+# ---------------------------------------------------------------------------
+
+def stream_child_main(start_at: float, mb: int, secs: float) -> None:
+    import numpy as np
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # first-touch b's pages before timing
+    while time.time() < start_at:  # align N children's timed windows
+        time.sleep(0.001)
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        np.copyto(b, a)
+        iters += 1
+        dt = time.perf_counter() - t0
+        if dt >= secs:
+            break
+    # copy reads a + writes b each iteration
+    print(json.dumps({"bytes_per_s": 2.0 * a.nbytes * iters / dt,
+                      "iters": iters, "secs": dt}), flush=True)
+
+
+def run_stream_point(nproc: int, mb: int = 256, secs: float = 1.5) -> dict:
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    n_cores = os.cpu_count() or 1
+    start_at = time.time() + 2.0 + 0.01 * mb / 64  # after children allocate
+    procs = []
+    for pid in range(nproc):
+        cmd = [sys.executable, os.path.abspath(__file__), "--stream-child",
+               "--start-at", repr(start_at), "--stream-mb", str(mb),
+               "--stream-secs", repr(secs)]
+        if nproc <= n_cores:
+            cmd = ["taskset", "-c", str((n_cores - 1 - pid) % n_cores)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True,
+                                      env=env, cwd=REPO))
+    per_host = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        if p.returncode != 0:
+            raise RuntimeError(f"stream child rc={p.returncode}: {err[-500:]}")
+        per_host.append(json.loads(out.strip().splitlines()[-1])["bytes_per_s"])
+    return {"n_procs": nproc,
+            "aggregate_gb_per_s": round(sum(per_host) / 1e9, 2),
+            "per_proc_gb_per_s": [round(x / 1e9, 2) for x in per_host]}
 
 
 # ---------------------------------------------------------------------------
@@ -154,36 +212,16 @@ def run_point(nproc: int, n_mols: int, reps: int, port: int) -> dict:
             # (max gates the step); a real pod has no such co-tenant
             "t_tok_per_host": [o["t_tok"] for o in outs],
             "t_vocab_per_host": [o["t_vocab"] for o in outs],
+            # achieved DRAM traffic per host in the tokenize phase (lower
+            # bound: flat arrays read + ids written/read + packed written);
+            # compare against the measured STREAM ceiling
+            "tok_achieved_gb_per_s_per_host": [
+                round(o["tok_touched_bytes"] / o["t_tok"] / 1e9, 2)
+                for o in outs],
             "vocab_size": sizes.pop()}
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
-    ap.add_argument("--pid", type=int, default=0)
-    ap.add_argument("--nproc", type=int, default=1)
-    ap.add_argument("--port", type=int, default=29531)
-    ap.add_argument("--mols", type=int, default=40000,
-                    help="molecules per host (weak scaling: the corpus grows "
-                         "with the fleet, per-host shard stays fixed — the "
-                         "regime a real pod data pipeline runs in)")
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--hosts", default="1,2,4")
-    ap.add_argument("--out", default="SCALING.json")
-    args = ap.parse_args()
-
-    if args.child:
-        child_main(args.pid, args.nproc, args.port, args.mols, args.reps)
-        return
-
-    points = []
-    for i, n in enumerate(int(x) for x in args.hosts.split(",")):
-        pt = run_point(n, args.mols * n, args.reps, args.port + i)
-        points.append(pt)
-        print(f"N={pt['n_hosts']}: tokenize {pt['tokenize_graphs_per_sec']:,.0f} g/s"
-              f" | vocab {pt['vocab_bytes_per_sec'] / 1e6:,.1f} MB/s"
-              f" (vocab_size={pt['vocab_size']})", flush=True)
-
+def _efficiencies(points: list) -> None:
     base = points[0]
     for pt in points:
         n = pt["n_hosts"]
@@ -191,17 +229,92 @@ def main() -> None:
                                      / (n * base["tokenize_graphs_per_sec"]))
         pt["vocab_efficiency"] = (pt["vocab_bytes_per_sec"]
                                   / (n * base["vocab_bytes_per_sec"]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--stream-child", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--start-at", type=float, default=0.0)
+    ap.add_argument("--stream-mb", type=int, default=256)
+    ap.add_argument("--stream-secs", type=float, default=1.5)
+    ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("--nproc", type=int, default=1)
+    ap.add_argument("--port", type=int, default=29531)
+    ap.add_argument("--mols", type=int, default=40000,
+                    help="molecules per host (weak scaling: the corpus grows "
+                         "with the fleet, per-host shard stays fixed — the "
+                         "regime a real pod data pipeline runs in)")
+    ap.add_argument("--cache-mols", type=int, default=2500,
+                    help="per-host shard for the cache-resident series (small "
+                         "enough to live in LLC; 0 disables)")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--hosts", default="1,2,4")
+    ap.add_argument("--no-stream", action="store_true")
+    ap.add_argument("--out", default="SCALING.json")
+    args = ap.parse_args()
+
+    if args.child:
+        child_main(args.pid, args.nproc, args.port, args.mols, args.reps)
+        return
+    if args.stream_child:
+        stream_child_main(args.start_at, args.stream_mb, args.stream_secs)
+        return
+
+    hosts = [int(x) for x in args.hosts.split(",")]
+
+    # (a) the box's DRAM ceiling, measured — the denominator for the
+    # saturation story
+    stream_points = []
+    if not args.no_stream:
+        for n in hosts:
+            sp = run_stream_point(n)
+            stream_points.append(sp)
+            print(f"STREAM N={n}: aggregate {sp['aggregate_gb_per_s']} GB/s "
+                  f"per-proc {sp['per_proc_gb_per_s']}", flush=True)
+
+    # (b) weak-scaling series with per-host achieved bytes/s
+    points = []
+    for i, n in enumerate(hosts):
+        pt = run_point(n, args.mols * n, args.reps, args.port + i)
+        points.append(pt)
+        print(f"N={pt['n_hosts']}: tokenize {pt['tokenize_graphs_per_sec']:,.0f} g/s"
+              f" | vocab {pt['vocab_bytes_per_sec'] / 1e6:,.1f} MB/s"
+              f" (vocab_size={pt['vocab_size']}, achieved/host "
+              f"{pt['tok_achieved_gb_per_s_per_host']} GB/s)", flush=True)
+    _efficiencies(points)
+
+    # (c) cache-resident series: shard small enough for LLC — if the N=4
+    # drop is the DRAM bus, efficiency must recover here
+    cache_points = []
+    if args.cache_mols:
+        for i, n in enumerate(hosts):
+            pt = run_point(n, args.cache_mols * n, args.reps,
+                           args.port + 100 + i)
+            cache_points.append(pt)
+            print(f"cache N={pt['n_hosts']}: tokenize "
+                  f"{pt['tokenize_graphs_per_sec']:,.0f} g/s", flush=True)
+        _efficiencies(cache_points)
+
     result = {"workload": "zinc_standin_tokenize+vocab",
               "mols": args.mols, "reps": args.reps,
               "mode": "N separate processes, jax.distributed local coordinator,"
                       " Gloo collectives, contiguous shards",
-              "points": points}
+              "stream_dram_ceiling": stream_points,
+              "points": points,
+              "cache_resident_mols": args.cache_mols,
+              "cache_resident_points": cache_points}
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(result, f, indent=1)
     print("\nefficiency vs linear:",
           {pt["n_hosts"]: round(pt["tokenize_efficiency"], 3) for pt in points},
           "| vocab:",
           {pt["n_hosts"]: round(pt["vocab_efficiency"], 3) for pt in points})
+    if cache_points:
+        print("cache-resident efficiency:",
+              {pt["n_hosts"]: round(pt["tokenize_efficiency"], 3)
+               for pt in cache_points})
     print(f"wrote {args.out}")
 
 
