@@ -102,6 +102,35 @@ def _timed_block(step, params, opt_state, ids, mask, labels, key, n_steps):
     return params, opt_state, loss_val, t_bur / n_steps, t_fetch / n_steps
 
 
+def calibrate_matmul_tflops(n: int = 4096, iters: int = 100) -> float:
+    """Measured speed-of-light: best-of-3 dependent bf16 matmul chain
+    (one scan dispatch, host-fetch timed). The honest ceiling for THIS
+    device+runtime — on the tunneled dev chip it lands well under the
+    datasheet peak, which contextualizes every model MFU row."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+    @partial(jax.jit, static_argnums=2)
+    def k_steps(a, b, iters):
+        def one(c, _):
+            s = jnp.float32(1) + c[0, 0].astype(jnp.float32) * jnp.float32(1e-30)
+            return (a * s.astype(jnp.bfloat16)) @ b, ()
+        c, _ = jax.lax.scan(one, a, None, length=iters)
+        return c[0, 0]
+
+    float(np.asarray(k_steps(a, b, iters)))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(k_steps(a, b, iters)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return 2.0 * n ** 3 / best / 1e12
+
+
 def analytic_train_flops(params, batch: int, seq: int, layers: int,
                          d_model: int) -> tuple[float, float]:
     """(per-step train FLOPs, matmul param count). 2*P_mm FLOPs per token per
@@ -123,7 +152,8 @@ def analytic_train_flops(params, batch: int, seq: int, layers: int,
 
 def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
             batch: int, steps: int, vocab: int, peak_tflops: float,
-            hbm_gbps: float, use_flash: bool) -> dict:
+            hbm_gbps: float, use_flash: bool,
+            measured_tflops: float | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -153,11 +183,23 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
 
     opt = optax.adamw(1e-3, weight_decay=1e-5)
     opt_state = opt.init(params)
+
+    # probe block: estimate the per-step time, then size the main block to
+    # stay under the tunnel's per-dispatch wall limit (dispatches beyond
+    # ~60-80 s die with a TPU device error) while still amortizing latency
+    probe = build_step(model, opt, 10)
+    key = jax.random.PRNGKey(1)
+    params, opt_state, _, _, _ = _timed_block(  # compile + warm
+        probe, params, opt_state, ids, mask, labels, key, 10)
+    params, opt_state, _, _, est = _timed_block(
+        probe, params, opt_state, ids, mask, labels, key, 10)
+    steps = int(max(10, min(steps, 40.0 / max(est, 1e-6))))
+    print(f"# est {est*1e3:.1f} ms/step -> block of {steps} steps",
+          file=sys.stderr, flush=True)
+
     step = build_step(model, opt, steps)
     half = max(1, steps // 2)
     step_half = build_step(model, opt, half)
-
-    key = jax.random.PRNGKey(1)
     # optional cross-check: XLA's own count for the K-step program. The HLO
     # cost model counts the scan body ONCE (not per trip) and cannot see
     # Pallas custom-call FLOPs, so this is reported, never used as the
@@ -252,6 +294,9 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
         "peak_tflops": peak_tflops,
         "achieved_tflops": round(flops_step / dt / 1e12, 2),
         "mfu": round(mfu, 4),
+        **({"mfu_vs_measured_matmul":
+            round(flops_step / (dt * measured_tflops * 1e12), 4)}
+           if measured_tflops else {}),
         "flop_bound_ms": round(flop_bound_s * 1e3, 3),
         "hbm_bound_ms": round(hbm_bound_s * 1e3, 3),
         "regime": regime,
@@ -276,6 +321,7 @@ def main() -> None:
     ap.add_argument("--peak", type=float, default=None,
                     help="peak TFLOP/s override")
     ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--no-calibrate", action="store_true")
     ap.add_argument("--out", default="MFU.json")
     args = ap.parse_args()
 
@@ -284,17 +330,27 @@ def main() -> None:
     chip = "cpu" if platform == "cpu" else args.chip
     peak = args.peak or PEAK_TFLOPS_BF16[chip]
 
+    measured = None
+    if not args.no_calibrate and platform != "cpu":
+        measured = calibrate_matmul_tflops()
+        print(f"# measured matmul ceiling: {measured:.1f} TFLOP/s "
+              f"({measured / peak:.0%} of {peak} datasheet peak)",
+              file=sys.stderr, flush=True)
+
     rows = []
     for dm in args.d_model:
         r = run_one(dm, args.layers, args.heads, args.ff_mult * dm, args.seq,
                     args.batch, args.steps, args.vocab, peak, HBM_GBPS[chip],
-                    use_flash=not args.no_flash and platform != "cpu")
+                    use_flash=not args.no_flash and platform != "cpu",
+                    measured_tflops=measured)
         r["platform"] = platform
         print(json.dumps(r), flush=True)
         rows.append(r)
 
     with open(args.out, "w") as f:
         json.dump({"chip": chip,
+                   **({"measured_matmul_tflops": round(measured, 1)}
+                      if measured else {}),
                    "note": "full train step (fwd+bwd+AdamW), bf16 compute; "
                            "MFU = analytic model FLOPs (3x(2*P_mm*T + attn)) "
                            "/ (fetch-timed step_s * peak); K-step scan blocks "

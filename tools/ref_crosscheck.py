@@ -65,10 +65,12 @@ def _load_examples(corpus: str):
         load_examples_multi_algorithm)
     spec = CORPORA[corpus]
     root = spec["root"]
-    if not os.path.isdir(os.path.join(root, "tasks_train")):
-        generate_corpus(root, tasks=["cycle_check", "shortest_path"],
-                        number_of_graphs=500, seed=1234,
-                        size_buckets=spec["size_buckets"])
+    # generate_corpus is incremental per (task, algo) at the current
+    # GENERATOR_VERSION — always call it (a root that only ever ran
+    # cycle_check would otherwise yield 0 shortest_path examples)
+    generate_corpus(root, tasks=["cycle_check", "shortest_path"],
+                    number_of_graphs=500, seed=1234,
+                    size_buckets=spec["size_buckets"])
     kw = dict(use_split_tasks_dirs=True, seed=HP["seed"], num_graphs=500,
               num_pairs_per_graph=10)
     return (load_examples_multi_algorithm(root, "shortest_path", ["path"],
