@@ -22,15 +22,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.run_benchmarks import run_with_watchdog  # noqa: E402
 
 BASE_RUNS = [
-    ("ibtt-cycle", "ibtt", "configs/ibtt_graph_token.yaml", {}),
+    ("ibtt-cycle", "ibtt", "configs/ibtt_graph_token.yaml",
+     {"dataset.pack": True}),
     ("ibtt-sp", "ibtt", "configs/ibtt_graph_token.yaml",
      {"dataset.task": "shortest_path", "dataset.train_algorithms": ["path"],
       "dataset.test_algorithm": "er", "train.epochs": 300,
-      "train.epochs_per_dispatch": 25}),
+      "train.epochs_per_dispatch": 25, "dataset.pack": True}),
     ("agtt-sp", "agtt", "configs/agtt_graph_token.yaml",
      {"dataset.task": "shortest_path", "dataset.train_algorithms": ["path"],
       "dataset.test_algorithm": "er", "dataset.num_graphs": 500,
-      "train.epochs": 300, "train.epochs_per_dispatch": 25}),
+      "train.epochs": 300, "train.epochs_per_dispatch": 25,
+      "dataset.pack": True}),
+    # the two zinc configs at their shipped settings (agtt packs, ibtt
+    # doesn't — ZINC_PACK_AB.json): these are the configs whose
+    # use_flash: true default the scanned microbench (FLASH_AB.json r3)
+    # now contradicts, so the epoch-level rerun is the decider
+    ("ibtt-zinc", "ibtt", "configs/ibtt_zinc.yaml",
+     {"train.epochs_per_dispatch": 10}),
+    ("agtt-zinc", "agtt", "configs/agtt_zinc.yaml",
+     {"train.epochs_per_dispatch": 10}),
 ]
 
 
@@ -53,7 +63,6 @@ def main() -> None:
                 print(f"[{name}] cached", flush=True)
                 continue
             ov = dict(overrides)
-            ov["dataset.pack"] = True
             ov["model.use_flash"] = flash
             ov["output.run_name"] = name
             print(f"\n{'=' * 80}\nFLASH EPOCH A/B {name}\n{'=' * 80}",
