@@ -47,8 +47,10 @@ BATCH_BUCKETS = (1, 8, 64, 256)
 
 def _config_for(family: str, out_dir: str, epochs: int, corpus_root: str):
     from glearning_benchmark_tpu.utils.config import load_config
-    cfg = load_config(os.path.join(REPO, "configs",
-                                   f"{family}_graph_token.yaml"))
+    from glearning_benchmark_tpu.utils.config import normalize_config
+    stem = "gps" if family == "ggps" else family
+    cfg = normalize_config(load_config(os.path.join(
+        REPO, "configs", f"{stem}_graph_token.yaml")))
     cfg["train"]["epochs"] = epochs
     cfg.setdefault("output", {})
     cfg["output"]["out_dir"] = out_dir
