@@ -80,9 +80,17 @@ def child_main(pid: int, nproc: int, port: int, n_mols: int, reps: int) -> None:
     gc.freeze()
     gc.disable()
 
-    # measured phases, barrier-aligned; best-of-reps like bench.py
+    # measured phases, barrier-aligned; best-of-reps like bench.py.
+    # TWO clocks per phase: `w_*` stops BEFORE the closing barrier (work
+    # only — starts are barrier-aligned, so max-over-hosts w is the true
+    # completion wall time), `t_*` includes it. The closing Gloo barrier
+    # costs ~1-9 ms and grows with N on this one box — a bench artifact
+    # (the real pipeline has no barrier after tokenize) that at ms-scale
+    # work quanta masquerades as sublinear scaling (r2's N=4 "0.63").
     t_vocab = float("inf")
     t_tok = float("inf")
+    w_vocab = float("inf")
+    w_tok = float("inf")
     vocab_size = 0
     tok_touched = 0
     for _ in range(reps):
@@ -90,23 +98,30 @@ def child_main(pid: int, nproc: int, port: int, n_mols: int, reps: int) -> None:
         t0 = time.perf_counter()
         flat = flatten_zinc_corpus(mols)
         vocab = multiprocess_zinc_vocab(mols, flat=flat)
+        w = time.perf_counter() - t0
         sync()
         t_vocab = min(t_vocab, time.perf_counter() - t0)
+        w_vocab = min(w_vocab, w)
 
         sync()
         t0 = time.perf_counter()
         ids, lens = corpus_ids_best(mols, vocab, max_len=1024, flat=flat)
         packed, _mask = pack_corpus(ids, lens, pad_id=vocab["<pad>"])
+        w = time.perf_counter() - t0
         sync()
         t_tok = min(t_tok, time.perf_counter() - t0)
+        w_tok = min(w_tok, w)
         vocab_size = len(vocab)
         # lower bound on per-host memory traffic in the tokenize phase:
         # flat corpus arrays read + ids written (+re-read) + packed written
-        tok_touched = (sum(a.nbytes for a in flat.values())
+        # flat may carry cached scalar flags (e.g. "_lexsorted": bool)
+        tok_touched = (sum(a.nbytes for a in flat.values()
+                           if hasattr(a, "nbytes"))
                        + 2 * ids.nbytes + packed.nbytes)
 
     print(json.dumps({"pid": pid, "n": nproc, "mols": len(mols),
                       "t_vocab": t_vocab, "t_tok": t_tok,
+                      "w_vocab": w_vocab, "w_tok": w_tok,
                       "vocab_size": vocab_size,
                       "tok_touched_bytes": int(tok_touched),
                       "stream_bytes": stream_bytes}), flush=True)
@@ -199,24 +214,30 @@ def run_point(nproc: int, n_mols: int, reps: int, port: int) -> dict:
         outs.append(json.loads(out.strip().splitlines()[-1]))
     total_mols = sum(o["mols"] for o in outs)
     total_bytes = sum(o["stream_bytes"] for o in outs)
-    t_vocab = max(o["t_vocab"] for o in outs)   # slowest host gates the step
-    t_tok = max(o["t_tok"] for o in outs)
+    # headline clocks are WORK time (stopped before the closing barrier);
+    # starts are barrier-aligned so max-over-hosts is completion wall time.
+    # Barrier-inclusive times are kept as *_incl_barrier for comparison —
+    # the gap IS the measured barrier cost.
+    t_vocab = max(o["w_vocab"] for o in outs)  # slowest host gates the step
+    t_tok = max(o["w_tok"] for o in outs)
     sizes = {o["vocab_size"] for o in outs}
     assert len(sizes) == 1, f"vocab diverged across hosts: {sizes}"
     return {"n_hosts": nproc, "mols": total_mols,
             "tokenize_graphs_per_sec": total_mols / t_tok,
             "vocab_bytes_per_sec": total_bytes / t_vocab,
             "t_tok_s": t_tok, "t_vocab_s": t_vocab,
+            "t_tok_incl_barrier_s": max(o["t_tok"] for o in outs),
+            "t_vocab_incl_barrier_s": max(o["t_vocab"] for o in outs),
             # per-host spread: on this box the host sharing its core with
             # the orchestrating parent is a straggler the barrier amplifies
             # (max gates the step); a real pod has no such co-tenant
-            "t_tok_per_host": [o["t_tok"] for o in outs],
-            "t_vocab_per_host": [o["t_vocab"] for o in outs],
+            "t_tok_per_host": [o["w_tok"] for o in outs],
+            "t_vocab_per_host": [o["w_vocab"] for o in outs],
             # achieved DRAM traffic per host in the tokenize phase (lower
             # bound: flat arrays read + ids written/read + packed written);
             # compare against the measured STREAM ceiling
             "tok_achieved_gb_per_s_per_host": [
-                round(o["tok_touched_bytes"] / o["t_tok"] / 1e9, 2)
+                round(o["tok_touched_bytes"] / o["w_tok"] / 1e9, 2)
                 for o in outs],
             "vocab_size": sizes.pop()}
 
