@@ -977,7 +977,11 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         # syncs (and the grad probe never runs) for it
         logger.log_param_histograms(params, step=epoch + k - 1)
         if logger.wandb:
-            rng, probe_rng = jax.random.split(rng)
+            # derive the probe key OUT-OF-STREAM (fold_in, not split): the
+            # probe is observability-only, and consuming the main rng here
+            # would make enabling wandb change every later block's dropout
+            # keys — i.e. the training trajectory
+            probe_rng = jax.random.fold_in(rng, epoch)
             grads = grad_probe(params, batch_stats, dev_splits["train"],
                                put_idx1(idx_k[-1, 0]),
                                put_idx1(np.ascontiguousarray(valid_k[-1, 0])),

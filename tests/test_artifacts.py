@@ -37,13 +37,17 @@ def test_mfu_rows_physically_possible():
         assert r["step_s"] >= 0.95 * bound_s, (
             f"d{r['d_model']}: step_s {r['step_s']} beats its FLOP bound "
             f"{bound_s} — timing did not synchronize")
-        # fetch-timed and block_until_ready blocks must agree (same device
-        # work): >5% divergence means one of the clocks lied
+        # the fetch clock can never be FASTER than block_until_ready for
+        # the same work (fetch includes the transfer); the reverse gap is
+        # allowed — it is exactly the tunnel's early-ack failure mode that
+        # fetch timing exists to defeat, and the fetch number stays honest
         if r.get("step_s_blocks_fetch") and r.get(
                 "step_s_blocks_block_until_ready"):
             f0 = min(r["step_s_blocks_fetch"])
             b0 = min(r["step_s_blocks_block_until_ready"])
-            assert abs(f0 - b0) / max(f0, b0) < 0.05
+            assert f0 >= b0 * 0.95, (
+                f"d{r['d_model']}: fetch clock {f0} beat block_until_ready "
+                f"{b0} — physically impossible")
         # half-K block must scale ~linearly with K (no hidden fixed cost
         # inside the scan, no elided iterations)
         if "k_scaling_ratio_halfK" in r:

@@ -70,6 +70,12 @@ def main() -> None:
     ap.add_argument("--out-dir", default="runs_epd")
     ap.add_argument("--out", default="EPD_SWEEP.json")
     args = ap.parse_args()
+    # anchor artifacts at the repo root regardless of CWD (matches
+    # scaling_bench) so resume finds the committed file
+    for attr in ("out", "out_dir"):
+        v = getattr(args, attr)
+        if not os.path.isabs(v):
+            setattr(args, attr, os.path.join(REPO, v))
 
     from glearning_benchmark_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()

@@ -99,13 +99,17 @@ def _bench_family(family: str, out_dir: str, corpus_root: str,
 
     def requests(bs: int, i: int):
         pool = texts if family == "ibtt" else graphs
-        off = (i * bs) % max(len(pool) - bs, 1)
+        # modulus must admit the last valid offset (len-bs), or the largest
+        # bucket (bs == len/2) pins every rep to offset 0
+        off = (i * bs) % max(len(pool) - bs + 1, 1)
         return pool[off:off + bs]
 
     rows = []
+    meta = {}
     for bs in BATCH_BUCKETS:
         # fresh Predictor per bucket: empty jit cache -> honest cold call
         p = Predictor.from_checkpoint(ckpt)
+        meta = p.serve["meta"]
         call = p.predict_texts if family == "ibtt" else p.predict_graphs
 
         t0 = time.perf_counter()
@@ -131,8 +135,7 @@ def _bench_family(family: str, out_dir: str, corpus_root: str,
         print(json.dumps(row), flush=True)
         rows.append(row)
     return {"family": family, "rows": rows,
-            "length_bucket": int(Predictor.from_checkpoint(ckpt)
-                                 .serve["meta"].get("max_len", 0) or 0)}
+            "length_bucket": int(meta.get("max_len", 0) or 0)}
 
 
 def main() -> None:
@@ -143,6 +146,12 @@ def main() -> None:
     ap.add_argument("--corpus", default="data/graph-token-serve")
     ap.add_argument("--out", default="SERVE_BENCH.json")
     args = ap.parse_args()
+    # anchor artifacts at the repo root regardless of CWD (matches
+    # scaling_bench) so resume finds the committed file
+    for attr in ("out", "out_dir", "corpus"):
+        v = getattr(args, attr)
+        if not os.path.isabs(v):
+            setattr(args, attr, os.path.join(REPO, v))
 
     from glearning_benchmark_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
