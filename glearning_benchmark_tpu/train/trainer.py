@@ -715,8 +715,16 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
         optax.adamw(schedule, weight_decay=weight_decay),
     )
 
-    # init
-    rng = jax.random.PRNGKey(seed)
+    # init. `train.prng_impl: rbg` swaps the key implementation for the
+    # whole training stream: threefry2x32 (the JAX default, replicable
+    # across backends) materializes the [B,H,L,L] attention-dropout mask
+    # with ~2 u32 rounds/element and dominates small-model steps; the
+    # TPU-native rbg generator cuts that step ~1.25x (measured at the
+    # ibtt shape, r3). Opt-in — it changes the dropout stream (same
+    # statistical quality, different bits), so default stays threefry.
+    prng_impl = train_cfg.get("prng_impl")
+    rng = (jax.random.key(seed, impl=prng_impl) if prng_impl
+           else jax.random.PRNGKey(seed))
     rng, init_rng = jax.random.split(rng)
     # init from an unpacked split (val shares the parameter structure; the
     # packed/unpacked forwards use the same modules)
