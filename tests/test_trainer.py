@@ -97,6 +97,21 @@ def test_train_zinc_agtt_and_mpnn(tmp_path):
         assert "mae" in res.test_metrics, name
 
 
+def test_train_prng_impl_rbg(corpus_root, tmp_path):
+    """`train.prng_impl: rbg` (typed jax.random.key instead of PRNGKey raw
+    arrays) must flow through init, the scanned epoch loop, checkpointing,
+    and the final test pass without a typed-key incompatibility (ADVICE r3:
+    previously unexercised outside the TPU)."""
+    cfg = _config(corpus_root, str(tmp_path), epochs=2)
+    cfg["train"]["prng_impl"] = "rbg"
+    res = train(cfg, "ibtt", verbose=False)
+    assert res.history[-1]["train/loss"] < res.history[0]["train/loss"]
+    assert "accuracy" in res.test_metrics
+    # the best-epoch checkpoint written under a typed-key run must restore
+    ckpt = load_checkpoint(str(tmp_path / "best_t"))
+    assert ckpt is not None and np.isfinite(ckpt["best_val"])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     state = {
         "params": {"dense": {"kernel": np.ones((3, 2)), "bias": np.zeros(2)}},

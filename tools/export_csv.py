@@ -120,9 +120,15 @@ def export_task_metric(runs: List[dict], task: str, metric: str,
             col = column_name(run, split, metric)
             # seed repeats of one config collide on the column name; W&B
             # disambiguates by run name — suffix like it does rather than
-            # silently double-writing one run and dropping the other
+            # silently double-writing one run and dropping the other. Seed
+            # repeats usually share run['name'] too, so add a counter to
+            # keep the suffixed key unique as well.
             if col in series:
-                col = f"{col} [{run['name']}]"
+                base, k = col, 2
+                col = f"{base} [{run['name']}]"
+                while col in series:
+                    col = f"{base} [{run['name']}#{k}]"
+                    k += 1
             cols.append(col)
             series[col] = vals
     if not cols:

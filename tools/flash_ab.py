@@ -2,11 +2,17 @@
 """A/B: Pallas flash attention vs XLA dot-general attention at the
 benchmark's shapes (VERDICT r1 next-step #3).
 
-Times forward and forward+backward at steady state (best-of-reps, jitted,
-block_until_ready) for the shapes the four training configs actually run:
+Times forward and forward+backward at steady state for the shapes the
+training configs actually run. Timing methodology: each measurement is a
+jitted ``lax.scan`` of ``steps`` *dependent* invocations per dispatch,
+timed by fetching a host value that data-depends on every iteration
+(``block_until_ready`` can ack before device completion through the
+tunnel — see CLAUDE.md timing discipline); best of ``reps`` dispatches.
 
     ibtt  synthetic: B=128 L=640  H=4 D=4    (d_model 16)
     agtt  synthetic: B=128 L=640  H=4 D=8    (d_model 32)
+    ibtt  zinc:      B=128 L=1024 H=4 D=4    (d_model 16 — the one config
+                                              that ships use_flash: true)
     agtt  zinc:      B=128 L=1024 H=4 D=16   (d_model 64)
     long  (stress):  B=16  L=2048 H=4 D=16
 
@@ -29,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SHAPES = [
     ("ibtt-sp", 128, 640, 4, 4),
     ("agtt-sp", 128, 640, 4, 8),
+    ("ibtt-zinc", 128, 1024, 4, 4),
     ("agtt-zinc", 128, 1024, 4, 16),
     ("long", 16, 2048, 4, 16),
 ]

@@ -245,13 +245,16 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
 
     # physical bounds -> binding-regime call
     flop_bound_s = flops_step / (peak_tflops * 1e12)
-    # per-step HBM traffic floor: bf16 weights read fwd+bwd (2+2 B/param) +
-    # f32 grads write+read (8) + AdamW m,v read+write (16) + f32 params
-    # read+write (8) ~= 36 B/param. A true LOWER bound — no fudge factor:
-    # activation round-trips only add traffic, and inflating a floor would
-    # both bias regime labels toward hbm-bound and raise the overhead-bound
-    # cutoff (it feeds max(bounds) and the 3x test below).
-    hbm_bound_s = 36.0 * n_params / (hbm_gbps * 1e9)
+    # per-step HBM traffic floor: bf16 weights read fwd+bwd (2+2 B/param —
+    # matmul params only: embedding/positional tables are gathers that read
+    # just the selected rows, so charging them here would inflate the floor)
+    # + f32 grads write+read (8) + AdamW m,v read+write (16) + f32 params
+    # read+write (8) = 32 B/param over ALL params (grads/moments/updates are
+    # dense even for the tables) + 4 B/param over P_mm. A true LOWER bound —
+    # no fudge factor: activation round-trips only add traffic, and inflating
+    # a floor would both bias regime labels toward hbm-bound and raise the
+    # overhead-bound cutoff (it feeds max(bounds) and the 3x test below).
+    hbm_bound_s = (32.0 * n_params + 4.0 * p_mm) / (hbm_gbps * 1e9)
     bounds = {"flops": flop_bound_s, "hbm": hbm_bound_s}
     binding = max(bounds, key=bounds.get)
     if dt > 3.0 * max(flop_bound_s, hbm_bound_s):

@@ -78,7 +78,11 @@ def _request_pool(task: str, corpus_root: str, n: int):
     texts = [e["text"] for e in ex]
     graphs = [g for g in (text_record_to_graph(e["text"], task,
                                                label=e.get("label"))
-                          for e in ex) if g is not None][:n]
+                          for e in ex) if g is not None]
+    # unparseable records shrink the graph pool below n; replicate back up
+    # (like texts above) so every bucket size bs <= n//2 stays servable
+    if graphs:
+        graphs = (graphs * (n // len(graphs) + 1))[:n]
     return texts, graphs
 
 
