@@ -64,6 +64,27 @@ _SIZE_BUCKETS = {
 
 MAX_PATH_CLASSES = 7  # len1..len7
 
+# Difficulty presets: per-algorithm generation knobs (key None = every other
+# algorithm). The default corpus saturated the benchmark (10 of 12 headline
+# rows at 0.99-1.000, VERDICT r3 weak #2); 'hard' recalibrates it with the
+# knobs the ablations proved monotone (ABLATIONS.json):
+#   - er drops to near-threshold density (measured: ~52% cyclic with
+#     cyclomatic margin |E-(N-C)| median ~1 on medium+large — cycle_check
+#     stops being decidable by gross edge/node counts),
+#   - sbm thins out so shortest_path grows a real len5-7 tail (~15% of
+#     labeled pairs vs ~2% at default sparsity),
+#   - everything else keeps its density but drops the small bucket
+#     (longer serializations; the ibtt-sp size sweep was monotone in this).
+DIFFICULTY_PLANS = {
+    "hard": {
+        "er": dict(min_sparsity=0.02, max_sparsity=0.05,
+                   size_buckets=("medium", "large")),
+        "sbm": dict(min_sparsity=0.04, max_sparsity=0.10,
+                    size_buckets=("medium", "large")),
+        None: dict(size_buckets=("medium", "large")),
+    },
+}
+
 
 # ---------------------------------------------------------------------------
 # Graph generation
@@ -597,7 +618,23 @@ def generate_corpus(
 
 
 def ensure_corpus(root: str, tasks: Sequence[str] = ("cycle_check", "shortest_path"),
-                  algorithms: Sequence[str] = ALGORITHMS, **kwargs) -> str:
-    """Generate any missing (task, algo) corpus directories under ``root``."""
-    generate_corpus(root, tasks=tasks, algorithms=algorithms, **kwargs)
+                  algorithms: Sequence[str] = ALGORITHMS,
+                  difficulty: Optional[str] = None, **kwargs) -> str:
+    """Generate any missing (task, algo) corpus directories under ``root``.
+
+    ``difficulty`` selects a DIFFICULTY_PLANS preset: each algorithm is
+    generated with its per-algo knobs (caller kwargs win on conflict). Use a
+    dedicated root per difficulty — the per-directory stamps would otherwise
+    regenerate back and forth between presets.
+    """
+    if difficulty:
+        plan = DIFFICULTY_PLANS[difficulty]
+        for algo in algorithms:
+            algo_kw = dict(plan.get(algo, plan.get(None, {})))
+            # caller kwargs win, but a None (unset passthrough, e.g.
+            # size_buckets=None from a config) must not erase the plan's knob
+            algo_kw.update({k: v for k, v in kwargs.items() if v is not None})
+            generate_corpus(root, tasks=tasks, algorithms=[algo], **algo_kw)
+    else:
+        generate_corpus(root, tasks=tasks, algorithms=algorithms, **kwargs)
     return root

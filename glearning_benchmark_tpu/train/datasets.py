@@ -158,8 +158,15 @@ def _resolve_corpus_root(dataset_cfg: dict, seed: int) -> str:
     algos = list(dict.fromkeys(
         list(dataset_cfg.get("train_algorithms", [])) +
         [dataset_cfg.get("test_algorithm", "sfn")]))
+    difficulty = dataset_cfg.get("difficulty")
+    if difficulty:
+        # dedicated root per difficulty preset: the per-directory generation
+        # stamps encode the knobs, so sharing a root with the default corpus
+        # would regenerate back and forth between presets
+        root = f"{root}-{difficulty}"
     ensure_corpus(root, tasks=(dataset_cfg["task"],), algorithms=algos,
                   number_of_graphs=n, seed=1234,
+                  difficulty=difficulty,
                   size_buckets=dataset_cfg.get("size_buckets"))
     return root
 

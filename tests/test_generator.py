@@ -138,3 +138,44 @@ def test_text_record_to_graph_query():
         assert gg.num_nodes == g.num_nodes
         found += 1
     assert found > 0
+
+
+def test_difficulty_hard_per_algo_plan(tmp_path):
+    """`difficulty: hard` generates each algorithm with its own knobs
+    (DIFFICULTY_PLANS): near-threshold er, thinned sbm, medium+large sizes
+    everywhere — stamped per directory so presets never mix."""
+    root = str(tmp_path / "hard")
+    G.ensure_corpus(root, tasks=("cycle_check",),
+                    algorithms=["er", "sbm", "ba"], number_of_graphs=8,
+                    difficulty="hard")
+
+    def stamp(algo):
+        with open(f"{root}/tasks_train/cycle_check/{algo}/train/.complete") as f:
+            return f.read()
+
+    assert "sparsity=0.02-0.05" in stamp("er")
+    assert "sparsity=0.04-0.1" in stamp("sbm")
+    assert "sparsity=0.1-0.2" in stamp("ba")  # plan default keeps density
+    for algo in ("er", "sbm", "ba"):
+        assert "buckets=medium+large" in stamp(algo)
+    # the size plan is honored in the emitted graphs (no small bucket)
+    import json as _json
+    from glob import glob
+    for p in glob(f"{root}/tasks_train/cycle_check/er/train/*.json")[:4]:
+        with open(p) as f:
+            recs = _json.load(f)
+        gg = text_record_to_graph(recs[0]["text"], task="cycle_check")
+        assert gg.num_nodes >= 20
+
+
+def test_difficulty_dataset_cfg_wiring(tmp_path):
+    """dataset.difficulty flows through _resolve_corpus_root: dedicated
+    -hard root, per-algo plan applied."""
+    from glearning_benchmark_tpu.train.datasets import _resolve_corpus_root
+    cfg = {"graph_token_root": str(tmp_path / "gt"), "task": "cycle_check",
+           "train_algorithms": ["er"], "test_algorithm": "ba",
+           "generate_num_graphs": 8, "difficulty": "hard"}
+    root = _resolve_corpus_root(cfg, seed=0)
+    assert root.endswith("-hard")
+    with open(f"{root}/tasks_train/cycle_check/er/train/.complete") as f:
+        assert "sparsity=0.02-0.05" in f.read()

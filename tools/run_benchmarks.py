@@ -65,6 +65,45 @@ RUNS_FULL = [
 
 RUNS_QUICK = [r[:3] + ({**r[3], "train.epochs": 10},) for r in RUNS_FULL[:4]]
 
+# Difficulty-calibrated preset (VERDICT r3 next-step #2): the default corpus
+# saturated 10 of 12 headline rows at 0.99-1.000; `dataset.difficulty: hard`
+# regenerates the synthetic corpora with the per-algo plan in
+# data/generator.py DIFFICULTY_PLANS (near-threshold er, thinned sbm,
+# medium+large sizes). cycle_check here trains on er+sbm — near-threshold er
+# supplies the balanced hard examples (ba's m∈{1,2} mix is decidable by gross
+# edge counts at any size) — and tests OOD on ba (sfn is all-cyclic, i.e.
+# single-class, at these sizes). Results land in RESULTS_HARD.json/.md.
+_HARD = {"dataset.difficulty": "hard", "dataset.num_graphs": 500,
+         "train.epochs_per_dispatch": 10}
+_HARD_CYC = {**_HARD, "dataset.train_algorithms": ["er", "sbm"],
+             "dataset.test_algorithm": "ba"}
+_HARD_SP = {**_HARD, "dataset.task": "shortest_path", "train.epochs": 300,
+            "train.epochs_per_dispatch": 25}
+RUNS_HARD = [
+    ("ibtt-cycle-hard", "ibtt", "configs/ibtt_graph_token.yaml",
+     {**_HARD_CYC, "output.run_name": "ibtt-cycle-hard"}),
+    ("mpnn-cycle-hard", "mpnn", "configs/mpnn_graph_token.yaml",
+     {**_HARD_CYC, "output.run_name": "mpnn-cycle-hard"}),
+    ("agtt-cycle-hard", "agtt", "configs/agtt_graph_token.yaml",
+     {**_HARD_CYC, "output.run_name": "agtt-cycle-hard"}),
+    ("gps-cycle-hard", "ggps", "configs/gps_graph_token.yaml",
+     {**_HARD_CYC, "output.run_name": "gps-cycle-hard"}),
+    ("ibtt-sp-hard", "ibtt", "configs/ibtt_graph_token.yaml",
+     {**_HARD_SP, "dataset.train_algorithms": ["path"],
+      "dataset.test_algorithm": "er", "output.run_name": "ibtt-sp-hard"}),
+    ("agtt-sp-hard", "agtt", "configs/agtt_graph_token.yaml",
+     {**_HARD_SP, "dataset.train_algorithms": ["path"],
+      "dataset.test_algorithm": "er", "output.run_name": "agtt-sp-hard"}),
+    ("mpnn-sp-hard", "mpnn", "configs/mpnn_graph_token.yaml",
+     {**_HARD_SP, "dataset.train_algorithms": ["er", "sbm", "path"],
+      "dataset.test_algorithm": "ba", "dataset.num_graphs": 300,
+      "output.run_name": "mpnn-sp-hard"}),
+    ("gps-sp-hard", "ggps", "configs/gps_graph_token.yaml",
+     {**_HARD_SP, "dataset.train_algorithms": ["er", "sbm", "path"],
+      "dataset.test_algorithm": "ba", "dataset.num_graphs": 300,
+      "output.run_name": "gps-sp-hard"}),
+]
+
 # the other eight graph-token task families the reference documents but never
 # exercises (docs/synthetic_data.md:29-42) — one row per family, all four
 # model families represented; results land in RESULTS_EXTENDED.json/.md
@@ -210,7 +249,7 @@ def run_with_watchdog(name, model, config_path, overrides, result_path,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="full",
-                    choices=["quick", "full", "scaling", "extended"])
+                    choices=["quick", "full", "scaling", "extended", "hard"])
     ap.add_argument("--only", default=None, help="comma-separated run names")
     ap.add_argument("--out", default="RESULTS.json")
     ap.add_argument("--stall-secs", type=int, default=600)
@@ -248,6 +287,10 @@ def main() -> None:
         runs = RUNS_EXTENDED
         if args.out == "RESULTS.json":
             args.out = "RESULTS_EXTENDED.json"
+    elif args.set == "hard":
+        runs = RUNS_HARD
+        if args.out == "RESULTS.json":
+            args.out = "RESULTS_HARD.json"
     else:
         runs = RUNS_FULL if args.set == "full" else RUNS_QUICK
     if args.only:
@@ -274,8 +317,10 @@ def main() -> None:
 
     # markdown summary (sits next to the json: RESULTS.json -> RESULTS.md)
     out_md = os.path.splitext(args.out)[0] + ".md"
-    title = ("# RESULTS — extended task families (TPU)"
-             if args.set == "extended" else "# RESULTS — this framework (TPU)")
+    title = {"extended": "# RESULTS — extended task families (TPU)",
+             "hard": "# RESULTS — hard difficulty preset "
+                     "(dataset.difficulty: hard, TPU)"}.get(
+        args.set, "# RESULTS — this framework (TPU)")
     lines = [title, "",
              "| run | model | task | best val | test | steady epoch (s) | graphs/s |",
              "|---|---|---|---|---|---|---|"]
