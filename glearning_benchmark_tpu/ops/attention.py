@@ -10,11 +10,44 @@ roofline, so the kernel is opt-in.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import nn as jnn
+
+
+def dropout_keep_mask(rng, shape, rate: float):
+    """Attention-dropout keep mask with an 8-bit quantized rate.
+
+    ``jax.random.bernoulli`` burns one full threefry2x32 draw (~7 rounds of
+    u32 ALU work) per element and then compares in f32 — on the [B, H, L, L]
+    attention-probability tensor that mask generation alone costs as much
+    as the whole fwd+bwd attention math at benchmark head dims
+    (FLASH_AB.json: xla fwdbwd 3.5 ms -> 7.1 ms with dropout at the ibtt
+    shape). Here one u32 threefry word is unpacked into FOUR mask bytes, so
+    the generator runs at a quarter of the elements, and the comparison is
+    u8 (VPU-cheap).
+
+    The drop rate quantizes to ``round(rate * 256) / 256`` (e.g. 0.1 ->
+    26/256 = 0.1016); the returned ``effective_rate`` MUST be used for the
+    1/(1-p) rescale so the expectation stays exactly unbiased. A 1/256
+    rate granularity changes nothing statistically meaningful about
+    dropout regularization; the reference's torch RNG stream was never a
+    conformance surface (dropout bits differ across frameworks by nature).
+
+    Returns ``(keep_mask bool[shape], effective_rate float)``.
+    """
+    thresh = int(round(rate * 256.0))
+    if thresh <= 0:
+        return jnp.ones(shape, bool), 0.0
+    n = math.prod(shape)
+    words = jax.random.bits(rng, ((n + 3) // 4,), jnp.uint32)
+    b = jnp.stack([(words >> s).astype(jnp.uint8) for s in (0, 8, 16, 24)],
+                  axis=-1).reshape(-1)
+    keep = (b[:n] >= jnp.uint8(thresh)).reshape(shape)
+    return keep, thresh / 256.0
 
 
 def multi_head_attention(
@@ -55,6 +88,6 @@ def multi_head_attention(
         # -inf; zero them out so padded queries emit exact zeros
         probs = jnp.where(allow, probs, 0.0)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        keep, p_eff = dropout_keep_mask(dropout_rng, probs.shape, dropout_rate)
+        probs = jnp.where(keep, probs / (1.0 - p_eff), 0.0)
     return jnp.einsum("bhls,bshd->blhd", probs, v)

@@ -192,3 +192,29 @@ def test_flash_dropout_statistics_and_seed_sensitivity():
     assert (keep != keep2).mean() > 0.1  # different seed, different mask
     # p_drop=0 keeps everything
     assert np.asarray(dropout_keep_reference(7, 4, 64, 64, 0.0)).all()
+
+
+def test_dropout_keep_mask_statistics():
+    """Quantized-byte keep mask (ops/attention.py dropout_keep_mask): rate
+    quantizes to round(p*256)/256, the effective rate is returned for the
+    unbiased rescale, streams differ across keys, n%4 != 0 shapes work."""
+    import jax
+    import numpy as np
+    from glearning_benchmark_tpu.ops.attention import dropout_keep_mask
+
+    keep, p_eff = dropout_keep_mask(jax.random.PRNGKey(0), (64, 129), 0.1)
+    assert p_eff == 26 / 256
+    rate = 1.0 - float(np.asarray(keep).mean())
+    assert abs(rate - p_eff) < 0.01, rate
+
+    keep2, _ = dropout_keep_mask(jax.random.PRNGKey(1), (64, 129), 0.1)
+    assert np.asarray(keep != keep2).mean() > 0.05  # key-sensitive stream
+
+    keep0, p0 = dropout_keep_mask(jax.random.PRNGKey(0), (8, 8), 0.0)
+    assert p0 == 0.0 and np.asarray(keep0).all()
+
+    # unbiasedness: E[x * keep / (1 - p_eff)] == E[x]
+    x = np.ones((512, 512), np.float32)
+    keep3, p3 = dropout_keep_mask(jax.random.PRNGKey(2), x.shape, 0.1)
+    scaled = x * np.asarray(keep3) / (1.0 - p3)
+    assert abs(scaled.mean() - 1.0) < 0.005

@@ -153,7 +153,9 @@ def analytic_train_flops(params, batch: int, seq: int, layers: int,
 def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
             batch: int, steps: int, vocab: int, peak_tflops: float,
             hbm_gbps: float, use_flash: bool,
-            measured_tflops: float | None = None) -> dict:
+            measured_tflops: float | None = None, p_drop: float = 0.1,
+            mu_dtype=None, prng_impl: str | None = None,
+            remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -165,9 +167,10 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
 
     model = SimpleTransformer(
         vocab_size=vocab, d_model=d_model, nhead=heads, nlayers=layers,
-        d_ff=d_ff, p_drop=0.1, max_pos=seq, num_classes=2,
+        d_ff=d_ff, p_drop=p_drop, max_pos=seq, num_classes=2,
         use_query_nodes=False, task="cycle_check",
-        use_flash=use_flash, compute_dtype="bfloat16")
+        use_flash=use_flash, compute_dtype="bfloat16",
+        **({"remat": True} if remat else {}))
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(2, vocab, size=(batch, seq)), jnp.int32)
@@ -181,14 +184,17 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
 
     flops_step, p_mm = analytic_train_flops(params, batch, seq, layers, d_model)
 
-    opt = optax.adamw(1e-3, weight_decay=1e-5)
+    # mu_dtype=bfloat16 halves the AdamW first-moment HBM traffic (optax
+    # casts mu on read/write; nu stays f32 for scale stability)
+    opt = optax.adamw(1e-3, weight_decay=1e-5, mu_dtype=mu_dtype)
     opt_state = opt.init(params)
 
     # probe block: estimate the per-step time, then size the main block to
     # stay under the tunnel's per-dispatch wall limit (dispatches beyond
     # ~60-80 s die with a TPU device error) while still amortizing latency
     probe = build_step(model, opt, 10)
-    key = jax.random.PRNGKey(1)
+    key = (jax.random.key(1, impl=prng_impl) if prng_impl
+           else jax.random.PRNGKey(1))
     params, opt_state, _, _, _ = _timed_block(  # compile + warm
         probe, params, opt_state, ids, mask, labels, key, 10)
     params, opt_state, _, _, est = _timed_block(
@@ -327,6 +333,10 @@ def main() -> None:
                     help="peak TFLOP/s override")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument("--attrib", action="store_true",
+                    help="gap-attribution mode: time step VARIANTS (xla "
+                         "attention, dropout off, rbg keys, bf16 AdamW mu, "
+                         "remat) at each --d-model; writes MFU_ATTRIB.json")
     ap.add_argument("--out", default="MFU.json")
     args = ap.parse_args()
 
@@ -341,6 +351,54 @@ def main() -> None:
         print(f"# measured matmul ceiling: {measured:.1f} TFLOP/s "
               f"({measured / peak:.0%} of {peak} datasheet peak)",
               file=sys.stderr, flush=True)
+
+    if args.attrib:
+        # gap attribution (VERDICT r3 next-step #6): where do the
+        # milliseconds between the measured step and the matmul ceiling go?
+        # Each variant changes exactly one thing vs base.
+        flash_default = not args.no_flash and platform != "cpu"
+        variants = [
+            ("base", {}),
+            ("xla_attn", {"use_flash": False}),
+            ("no_dropout", {"p_drop": 0.0}),
+            ("xla_no_dropout", {"use_flash": False, "p_drop": 0.0}),
+            ("rbg_keys", {"prng_impl": "rbg"}),
+            ("bf16_mu", {"mu_dtype": "bfloat16"}),
+            ("remat", {"remat": True}),
+        ]
+        rows = []
+        for dm in args.d_model:
+            for vname, kw in variants:
+                kw = dict(kw)
+                kw.setdefault("use_flash", flash_default)
+                if kw.get("mu_dtype") == "bfloat16":
+                    import jax.numpy as _jnp
+                    kw["mu_dtype"] = _jnp.bfloat16
+                r = run_one(dm, args.layers, args.heads, args.ff_mult * dm,
+                            args.seq, args.batch, args.steps, args.vocab,
+                            peak, HBM_GBPS[chip], measured_tflops=measured,
+                            **kw)
+                r["variant"] = vname
+                r["platform"] = platform
+                print(json.dumps({k: r[k] for k in
+                                  ("variant", "d_model", "step_s", "mfu",
+                                   "regime", "valid") if k in r}), flush=True)
+                rows.append(r)
+        out = args.out if args.out != "MFU.json" else "MFU_ATTRIB.json"
+        with open(out, "w") as f:
+            json.dump({"chip": chip,
+                       **({"measured_matmul_tflops": round(measured, 1)}
+                          if measured else {}),
+                       "note": "step-variant attribution of the MFU gap: "
+                               "each variant changes one thing vs base "
+                               "(same analytic-FLOP numerator, fetch-timed "
+                               "K-step blocks). no_dropout/xla_* isolate "
+                               "mask-generation and attention-impl cost; "
+                               "bf16_mu halves AdamW mu traffic; remat "
+                               "trades FLOPs for HBM.",
+                       "rows": rows}, f, indent=2)
+        print(f"wrote {out}", flush=True)
+        return
 
     rows = []
     for dm in args.d_model:

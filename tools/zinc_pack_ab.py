@@ -25,6 +25,12 @@ RUNS = [
      {"dataset.pack": True, "output.run_name": "ibtt-zinc-pack"}),
     ("agtt-zinc-pack", "agtt", "configs/agtt_zinc.yaml",
      {"dataset.pack": True, "output.run_name": "agtt-zinc-pack"}),
+    # the unpacked side as a COMMITTED row of its own (VERDICT r3 weak #3:
+    # the packing default rested on an uncommitted unpacked test MAE, while
+    # the committed unpacked best_val 0.330 beat packed 0.350) — same
+    # protocol (K=1), only dataset.pack flipped
+    ("agtt-zinc-unpacked", "agtt", "configs/agtt_zinc.yaml",
+     {"dataset.pack": False, "output.run_name": "agtt-zinc-unpacked"}),
 ]
 
 BASELINE_ROWS = {"ibtt-zinc-pack": "ibtt-zinc", "agtt-zinc-pack": "agtt-zinc"}
@@ -54,7 +60,7 @@ def main() -> None:
         print(f"\n{'=' * 80}\nZINC PACK A/B {name}\n{'=' * 80}", flush=True)
         res = run_with_watchdog(name, model, config_path, overrides,
                                 f"/tmp/gbt_runs/{name}.json", args.stall_secs)
-        base = baselines.get(BASELINE_ROWS[name], {})
+        base = baselines.get(BASELINE_ROWS.get(name, ""), {})
         if "error" not in res and base:
             res["unpacked_best_val"] = base.get("best_val")
             res["unpacked_steady_epoch_s"] = base.get("steady_epoch_s")
