@@ -79,10 +79,11 @@ def _ring_body(q, k, v, key_mask, rng, *, axis_name: str, p_drop: float):
             k_idx = (me + t + 1) % n
             sub = jax.random.fold_in(jax.random.wrap_key_data(rng),
                                      me * n + k_idx)
-            keep = jax.random.bernoulli(sub, 1.0 - p_drop, p.shape)
+            from .attention import dropout_keep_mask
+            keep, p_eff = dropout_keep_mask(sub, p.shape, p_drop)
             # dropout applies to normalized probs: drop the numerator
             # contribution only, l keeps the undropped mass
-            p_o = jnp.where(keep, p / (1.0 - p_drop), 0.0)
+            p_o = jnp.where(keep, p / (1.0 - p_eff), 0.0)
         else:
             p_o = p
         o = o * corr[..., None] + jnp.einsum(
