@@ -280,6 +280,57 @@ def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
     return path
 
 
+def crosscheck_curves_r4(out_dir, crosscheck_path="REF_CROSSCHECK.json",
+                         results_path="RESULTS.json",
+                         out_name="agtt_mpnn_crosscheck.png"):
+    """Round-4 same-corpus crosscheck panels: the reference's own torch
+    AGTT/MPNN (tools/ref_crosscheck.py --run all-r4) trained on OUR
+    campaign corpora, vs our committed best-val from the uniform campaign
+    (RESULTS.json level line). One panel per (family, task)."""
+    if not os.path.isfile(crosscheck_path):
+        print("  (no r4 cross-check data yet)")
+        return None
+    ref = json.load(open(crosscheck_path))
+    ours = {}
+    if os.path.isfile(results_path):
+        res = json.load(open(results_path))
+        for key in ("agtt-cycle", "agtt-sp", "mpnn-cycle", "mpnn-sp"):
+            if key in res and "best_val" in res[key]:
+                ours[key] = float(res[key]["best_val"])
+    panels = [k for k in ("agtt-cycle", "agtt-sp", "mpnn-cycle", "mpnn-sp")
+              if k in ref]
+    if not panels:
+        print("  (no r4 cross-check rows yet)")
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    fig, axes = plt.subplots(1, len(panels), figsize=(6 * len(panels), 5),
+                             squeeze=False)
+    for ax, key in zip(axes[0], panels):
+        h = ref[key]["val_acc_history"]
+        ax.plot(range(1, len(h) + 1), h, color="#0173B2", linewidth=2,
+                label=f"reference torch impl (best "
+                      f"{ref[key]['best_val_acc']:.3f})")
+        if key in ours:
+            ax.axhline(ours[key], color="#029E73", linewidth=2,
+                       linestyle="--",
+                       label=f"ours best val (RESULTS.json, {ours[key]:.3f})")
+        ax.set_xlabel("Epoch", fontweight="bold")
+        ax.set_ylabel("Validation accuracy", fontweight="bold")
+        ax.set_title(f"{key} — same corpus, reference HPs",
+                     fontweight="bold")
+        ax.set_ylim(0, 1.05)
+        ax.grid(True, alpha=0.3, linestyle="--", linewidth=0.5)
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        ax.legend(loc="lower right", frameon=True, fontsize=9.5)
+    plt.tight_layout()
+    path = os.path.join(out_dir, out_name)
+    plt.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    print(f"  ✓ {path}")
+    return path
+
+
 # ---------------------------------------------------------------------------
 # figure family 2: task label distributions (create_label_distribution_plots)
 # ---------------------------------------------------------------------------
@@ -467,6 +518,7 @@ def main() -> None:
         zinc_distribution_plots(args.out, zinc_root=args.zinc_root)
     if args.mode in ("crosscheck", "all"):
         crosscheck_curves(args.out)
+        crosscheck_curves_r4(args.out)
 
 
 if __name__ == "__main__":
