@@ -15,6 +15,9 @@ tunnel — see CLAUDE.md timing discipline); best of ``reps`` dispatches.
                                               that ships use_flash: true)
     agtt  zinc:      B=128 L=1024 H=4 D=16   (d_model 64)
     long  (stress):  B=16  L=2048 H=4 D=16
+    xl / xxl:        L=4096/8192 D=64 — NOT benchmark shapes; they locate
+                     the crossover where streaming beats materializing the
+                     [L, L] matrix (the regime flash kernels exist for)
 
 Decision rule (north star: Pallas only where XLA is not at roofline): if
 flash wins at the benchmark shapes, flip model.use_flash default; else
@@ -38,6 +41,8 @@ SHAPES = [
     ("ibtt-zinc", 128, 1024, 4, 4),
     ("agtt-zinc", 128, 1024, 4, 16),
     ("long", 16, 2048, 4, 16),
+    ("xl", 4, 4096, 8, 64),
+    ("xxl", 2, 8192, 8, 64),
 ]
 
 
