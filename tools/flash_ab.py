@@ -28,6 +28,7 @@ record the roofline note justifying XLA. Writes FLASH_AB.json.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -86,7 +87,17 @@ def bench(fn, args, steps=100, reps=3):
     return best
 
 
+ROWS_JSONL = "FLASH_AB.rows.jsonl"  # incremental resume log (tunnel can die)
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default="",
+                    help="comma-separated shape names to (re)run; others are "
+                         f"taken from {ROWS_JSONL} if present")
+    args = ap.parse_args()
+    only = set(s for s in args.shapes.split(",") if s)
+
     from glearning_benchmark_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -96,8 +107,22 @@ def main() -> None:
     from glearning_benchmark_tpu.ops.pallas_attention import flash_attention
 
     print(f"backend: {jax.default_backend()}", flush=True)
+    done = {}
+    if os.path.exists(ROWS_JSONL):
+        with open(ROWS_JSONL) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done[r["shape"]] = r
+                except json.JSONDecodeError:
+                    continue
     results = []
     for name, b, l, h, d, in SHAPES:
+        if only and name not in only:
+            if name in done:
+                results.append(done[name])
+                print(f"(resume) {json.dumps(done[name])}", flush=True)
+            continue
         key = jax.random.PRNGKey(0)
         kq, kk, kv = jax.random.split(key, 3)
         dt = jnp.bfloat16
@@ -175,6 +200,8 @@ def main() -> None:
         row["packed_fwdbwd_speedup"] = round(
             row["xla_packed_fwdbwd_ms"] / row["flash_packed_fwdbwd_ms"], 2)
         print(json.dumps(row), flush=True)
+        with open(ROWS_JSONL, "a") as f:
+            f.write(json.dumps(row) + "\n")
         results.append(row)
 
     with open("FLASH_AB.json", "w") as f:
