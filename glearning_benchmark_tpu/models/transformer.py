@@ -47,6 +47,11 @@ class EncoderLayer(nn.Module):
     moe_experts: int = 0  # >0: Switch MoE FFN (models/moe.py, EP-shardable)
     moe_capacity: float = 1.25
     ep_mesh: Any = None   # ('data','expert') Mesh -> manual all-to-all MoE
+    # measurement overrides (tools/mfu_bench.py --attrib): split the
+    # attention-prob dropout rate from the residual/FFN nn.Dropout rate.
+    # None -> p_drop for both (the shipped behavior).
+    attn_p_drop: Optional[float] = None
+    mlp_p_drop: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool,
@@ -54,6 +59,8 @@ class EncoderLayer(nn.Module):
         b, l, d = x.shape
         h = self.nhead
         hd = d // h
+        p_attn = self.p_drop if self.attn_p_drop is None else self.attn_p_drop
+        p_mlp = self.p_drop if self.mlp_p_drop is None else self.mlp_p_drop
         qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, h, hd)
@@ -64,7 +71,7 @@ class EncoderLayer(nn.Module):
         # ring path regenerate their keep masks from their own hashes (their
         # Bernoulli streams differ from the XLA path's jax.random — dropout
         # semantics, not stream identity, are the contract)
-        attn_drop = self.p_drop if (not deterministic and self.p_drop > 0) else 0.0
+        attn_drop = p_attn if (not deterministic and p_attn > 0) else 0.0
         if self.sp_mesh is not None:
             if seg is not None:
                 raise ValueError("sequence-parallel ring attention does not "
@@ -90,7 +97,7 @@ class EncoderLayer(nn.Module):
                 dropout_rate=attn_drop,
                 dropout_rng=self.make_rng("dropout") if attn_drop else None)
         attn = nn.Dense(d, name="out_proj", dtype=self.dtype)(attn.reshape(b, l, d))
-        attn = nn.Dropout(self.p_drop, deterministic=deterministic)(attn)
+        attn = nn.Dropout(p_mlp, deterministic=deterministic)(attn)
         x = nn.LayerNorm(name="norm1")((x + attn).astype(jnp.float32))
 
         if self.moe_experts > 0:
@@ -101,9 +108,9 @@ class EncoderLayer(nn.Module):
         else:
             y = nn.Dense(self.d_ff, name="ff1", dtype=self.dtype)(x)
             y = nn.relu(y)
-            y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
+            y = nn.Dropout(p_mlp, deterministic=deterministic)(y)
             y = nn.Dense(d, name="ff2", dtype=self.dtype)(y)
-        y = nn.Dropout(self.p_drop, deterministic=deterministic)(y)
+        y = nn.Dropout(p_mlp, deterministic=deterministic)(y)
         return nn.LayerNorm(name="norm2")((x + y).astype(jnp.float32))
 
 
@@ -218,6 +225,9 @@ class SimpleTransformer(nn.Module):
     ep_mesh: Any = None                   # ('data','expert') Mesh: manual
                                           # all-to-all MoE dispatch
                                           # (parallel.ep_manual)
+    attn_p_drop: Optional[float] = None   # measurement overrides: split the
+    mlp_p_drop: Optional[float] = None    # attention-prob vs residual/FFN
+                                          # dropout rates (None -> p_drop)
 
     @nn.compact
     def __call__(
@@ -250,6 +260,8 @@ class SimpleTransformer(nn.Module):
             h = layer_cls(self.d_model, self.nhead, self.d_ff, self.p_drop,
                           self.use_flash, cdtype, self.sp_mesh,
                           self.moe_experts, self.moe_capacity, self.ep_mesh,
+                          attn_p_drop=self.attn_p_drop,
+                          mlp_p_drop=self.mlp_p_drop,
                           name=f"layer_{i}")(h, attn_mask, deterministic, seg)
 
         return transformer_readout(

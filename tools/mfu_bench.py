@@ -155,7 +155,8 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
             hbm_gbps: float, use_flash: bool,
             measured_tflops: float | None = None, p_drop: float = 0.1,
             mu_dtype=None, prng_impl: str | None = None,
-            remat: bool = False) -> dict:
+            remat: bool = False, attn_p_drop: float | None = None,
+            mlp_p_drop: float | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -170,6 +171,7 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
         d_ff=d_ff, p_drop=p_drop, max_pos=seq, num_classes=2,
         use_query_nodes=False, task="cycle_check",
         use_flash=use_flash, compute_dtype="bfloat16",
+        attn_p_drop=attn_p_drop, mlp_p_drop=mlp_p_drop,
         **({"remat": True} if remat else {}))
 
     rng = np.random.default_rng(0)
@@ -333,6 +335,10 @@ def main() -> None:
                     help="peak TFLOP/s override")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument("--variants", default="",
+                    help="attrib mode: comma-separated variant names to "
+                         "run (default all); merges into --out if it "
+                         "already exists")
     ap.add_argument("--attrib", action="store_true",
                     help="gap-attribution mode: time step VARIANTS (xla "
                          "attention, dropout off, rbg keys, bf16 AdamW mu, "
@@ -365,26 +371,47 @@ def main() -> None:
             ("rbg_keys", {"prng_impl": "rbg"}),
             ("bf16_mu", {"mu_dtype": "bfloat16"}),
             ("remat", {"remat": True}),
+            # split the dropout cost: in-kernel flash hash (attention
+            # probs) vs the three nn.Dropout sites (residual/FFN)
+            ("attn_dropout_only", {"mlp_p_drop": 0.0}),
+            ("mlp_dropout_only", {"attn_p_drop": 0.0}),
         ]
+        only = set(v for v in args.variants.split(",") if v)
         rows = []
         for dm in args.d_model:
             for vname, kw in variants:
+                if only and vname not in only:
+                    continue
                 kw = dict(kw)
                 kw.setdefault("use_flash", flash_default)
                 if kw.get("mu_dtype") == "bfloat16":
                     import jax.numpy as _jnp
                     kw["mu_dtype"] = _jnp.bfloat16
-                r = run_one(dm, args.layers, args.heads, args.ff_mult * dm,
-                            args.seq, args.batch, args.steps, args.vocab,
-                            peak, HBM_GBPS[chip], measured_tflops=measured,
-                            **kw)
+                try:
+                    r = run_one(dm, args.layers, args.heads,
+                                args.ff_mult * dm, args.seq, args.batch,
+                                args.steps, args.vocab, peak,
+                                HBM_GBPS[chip], measured_tflops=measured,
+                                **kw)
+                except Exception as e:  # an OOM IS an attribution result
+                    msg = str(e)
+                    if "Ran out of memory" in msg or "hbm" in msg.lower():
+                        msg = ("OOM: " + msg.split("\n")[0][:300])
+                    r = {"d_model": dm, "error": msg[:400], "valid": False}
                 r["variant"] = vname
                 r["platform"] = platform
                 print(json.dumps({k: r[k] for k in
                                   ("variant", "d_model", "step_s", "mfu",
-                                   "regime", "valid") if k in r}), flush=True)
+                                   "regime", "valid", "error")
+                                  if k in r}), flush=True)
                 rows.append(r)
         out = args.out if args.out != "MFU.json" else "MFU_ATTRIB.json"
+        if os.path.exists(out):
+            old = json.load(open(out)).get("rows", [])
+            new_keys = {(r["variant"], r["d_model"]) for r in rows}
+            rows = [r for r in old
+                    if (r.get("variant"), r.get("d_model")) not in new_keys
+                    ] + rows
         with open(out, "w") as f:
             json.dump({"chip": chip,
                        **({"measured_matmul_tflops": round(measured, 1)}
