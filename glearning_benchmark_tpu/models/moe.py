@@ -67,7 +67,7 @@ def _manual_ep_ffn(mesh, x, dispatch, top_p, w1, b1, w2, b2, *,
     expert owners and back via two ``lax.all_to_all`` exchanges instead of
     GSPMD replicating activations over 'expert'. Dropout inside the manual
     region draws from a per-device folded key — a different Bernoulli
-    stream than the auto path's ``nn.Dropout``, same semantics (the
+    stream than the auto path's blocked-byte mask, same semantics (the
     documented contract for the flash/ring paths as well).
     """
     if set(mesh.axis_names) != {"data", "expert"}:
@@ -184,7 +184,13 @@ class SwitchFFN(nn.Module):
                          x.astype(self.dtype))                   # [E, B, C, d]
         h = jnp.einsum("ebcd,edf->ebcf", xin, w1.astype(self.dtype))
         h = nn.relu(h + b1[:, None, None, :].astype(self.dtype))
-        h = nn.Dropout(self.p_drop, deterministic=deterministic)(h)
+        if not deterministic and self.p_drop > 0:
+            # quantized blocked-byte mask (ops/attention.cheap_dropout) —
+            # same swap as the encoder's residual/FFN sites; the manual EP
+            # path below keeps its per-device folded bernoulli (documented
+            # same-semantics-different-stream contract)
+            from ..ops.attention import cheap_dropout
+            h = cheap_dropout(self.make_rng("dropout"), h, self.p_drop)
         h = jnp.einsum("ebcf,efd->ebcd", h, w2.astype(self.dtype))
         h = h + b2[:, None, None, :].astype(self.dtype)
 

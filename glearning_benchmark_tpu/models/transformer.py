@@ -23,7 +23,7 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import cheap_dropout, multi_head_attention
 
 _TRUNC = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -52,6 +52,21 @@ class EncoderLayer(nn.Module):
     # None -> p_drop for both (the shipped behavior).
     attn_p_drop: Optional[float] = None
     mlp_p_drop: Optional[float] = None
+
+    def _drop(self, x, rate: float, deterministic: bool):
+        """Residual/FFN dropout via the quantized blocked-byte keep mask.
+
+        Replaces ``nn.Dropout`` (threefry-bernoulli per element) at the
+        three per-layer sites — at d2048 those masks alone cost ~12
+        points of MFU (MFU_ATTRIB_2048.json: 43.8% -> 56.0% without
+        them). Same Bernoulli marginal at the 1/256-quantized rate with
+        the exact unbiased rescale; the bit stream differs from flax's
+        (the framework's documented dropout contract — the flash/ring
+        attention kernels already draw their own streams).
+        """
+        if deterministic or rate <= 0.0:
+            return x
+        return cheap_dropout(self.make_rng("dropout"), x, rate)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray, deterministic: bool,
@@ -97,7 +112,7 @@ class EncoderLayer(nn.Module):
                 dropout_rate=attn_drop,
                 dropout_rng=self.make_rng("dropout") if attn_drop else None)
         attn = nn.Dense(d, name="out_proj", dtype=self.dtype)(attn.reshape(b, l, d))
-        attn = nn.Dropout(p_mlp, deterministic=deterministic)(attn)
+        attn = self._drop(attn, p_mlp, deterministic)
         x = nn.LayerNorm(name="norm1")((x + attn).astype(jnp.float32))
 
         if self.moe_experts > 0:
@@ -108,9 +123,9 @@ class EncoderLayer(nn.Module):
         else:
             y = nn.Dense(self.d_ff, name="ff1", dtype=self.dtype)(x)
             y = nn.relu(y)
-            y = nn.Dropout(p_mlp, deterministic=deterministic)(y)
+            y = self._drop(y, p_mlp, deterministic)
             y = nn.Dense(d, name="ff2", dtype=self.dtype)(y)
-        y = nn.Dropout(p_mlp, deterministic=deterministic)(y)
+        y = self._drop(y, p_mlp, deterministic)
         return nn.LayerNorm(name="norm2")((x + y).astype(jnp.float32))
 
 

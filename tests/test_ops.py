@@ -218,3 +218,61 @@ def test_dropout_keep_mask_statistics():
     keep3, p3 = dropout_keep_mask(jax.random.PRNGKey(2), x.shape, 0.1)
     scaled = x * np.asarray(keep3) / (1.0 - p3)
     assert abs(scaled.mean() - 1.0) < 0.005
+
+
+def test_cheap_dropout_activation_semantics():
+    """cheap_dropout (the r5 residual/FFN nn.Dropout replacement): zeros
+    exactly p_eff of elements, rescales survivors by exactly 1/(1-p_eff)
+    (unbiased), preserves dtype (bf16 stays bf16), and rate=0 / tiny rates
+    that quantize to 0 are identity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from glearning_benchmark_tpu.ops.attention import cheap_dropout
+
+    x = jnp.ones((256, 257), jnp.bfloat16)
+    y = cheap_dropout(jax.random.PRNGKey(0), x, 0.1)
+    assert y.dtype == jnp.bfloat16
+    yf = np.asarray(y, np.float32)
+    p_eff = 26 / 256
+    surv = 1.0 / (1.0 - p_eff)
+    # every element is exactly 0 or exactly the rescaled value
+    assert set(np.unique(yf)) <= {0.0, np.float32(jnp.bfloat16(surv))}
+    drop_frac = (yf == 0).mean()
+    assert abs(drop_frac - p_eff) < 0.01, drop_frac
+    # unbiased in expectation
+    assert abs(yf.mean() - 1.0) < 0.02
+
+    # identity when the rate quantizes to zero
+    z = cheap_dropout(jax.random.PRNGKey(0), x, 0.001)
+    assert np.asarray(z == x).all()
+
+
+def test_encoder_layer_dropout_sites_use_cheap_mask():
+    """The transformer's residual/FFN dropout now runs the blocked-byte
+    mask: with attention-prob dropout off (attn_p_drop=0) and mlp dropout
+    on, a training-mode forward must differ from eval, and every hidden
+    activation perturbation must be consistent with the quantized rate
+    (trained model output distributions are not asserted — just that the
+    stochastic path is live and deterministic under a fixed rng)."""
+    import jax
+    import jax.numpy as jnp
+    from glearning_benchmark_tpu.models.transformer import SimpleTransformer
+
+    model = SimpleTransformer(vocab_size=32, d_model=16, nhead=4, nlayers=1,
+                              d_ff=32, p_drop=0.3, max_pos=16, num_classes=2,
+                              use_query_nodes=False, attn_p_drop=0.0)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), bool)
+    params = model.init(jax.random.PRNGKey(0), ids, mask, deterministic=True)
+    out_det = model.apply(params, ids, mask, deterministic=True)
+    out_a = model.apply(params, ids, mask, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+    out_b = model.apply(params, ids, mask, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+    out_c = model.apply(params, ids, mask, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    import numpy as np
+    assert np.allclose(np.asarray(out_a), np.asarray(out_b))   # rng-determined
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_det))  # live
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_c))    # key-sensitive

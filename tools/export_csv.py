@@ -88,6 +88,7 @@ def discover(run_dirs) -> List[dict]:
             if history:
                 runs.append({"name": name, "model": model, "task": task,
                              "dataset": dataset, "arch": arch_string(model, cfg),
+                             "difficulty": ds.get("difficulty", "default"),
                              "history": history})
     return runs
 
@@ -152,8 +153,19 @@ def export_task_metric(runs: List[dict], task: str, metric: str,
     return True
 
 
-def export_all(run_dirs, out_dir: str, error_bands: bool = True) -> List[str]:
+def export_all(run_dirs, out_dir: str, error_bands: bool = True,
+               difficulty: str = "default") -> List[str]:
+    """Export every (task, metric) CSV for runs at the given corpus
+    ``difficulty`` ('all' disables the filter). Campaigns at different
+    difficulty presets share run dirs, so an unfiltered export would mix
+    e.g. hard-preset er+sbm series into the reference-parity default CSVs
+    under the same filenames (ADVICE r4 medium #2) — hard runs export to
+    their own directory (run_benchmarks.py -> figures_data_hard)."""
     runs = discover(run_dirs)
+    if difficulty != "all":
+        runs = [r for r in runs if r["difficulty"] == difficulty]
+    if not runs:
+        return []
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for task in sorted({r["task"] for r in runs}):
@@ -171,9 +183,13 @@ def main() -> None:
     ap.add_argument("--out", default="figures_data")
     ap.add_argument("--no-error-bands", action="store_true",
                     help="omit the __MIN/__MAX columns")
+    ap.add_argument("--difficulty", default="default",
+                    help="only export runs at this dataset.difficulty "
+                         "('all' disables the filter; default 'default')")
     args = ap.parse_args()
     written = export_all([d for d in args.run_dirs if os.path.isdir(d)],
-                         args.out, error_bands=not args.no_error_bands)
+                         args.out, error_bands=not args.no_error_bands,
+                         difficulty=args.difficulty)
     for p in written:
         print(p)
     if not written:

@@ -122,6 +122,12 @@ def main() -> None:
             if name in done:
                 results.append(done[name])
                 print(f"(resume) {json.dumps(done[name])}", flush=True)
+            else:
+                # a silently absent row would shrink the rewritten
+                # FLASH_AB.json and quietly drop a published shape
+                print(f"[warn] shape '{name}' not requested and not cached "
+                      f"in {ROWS_JSONL} — FLASH_AB.json will lack its row",
+                      file=sys.stderr, flush=True)
             continue
         key = jax.random.PRNGKey(0)
         kq, kk, kv = jax.random.split(key, 3)
@@ -208,6 +214,22 @@ def main() -> None:
         json.dump({"backend": jax.default_backend(), "dtype": "bfloat16",
                    "rows": results}, f, indent=1)
     print("wrote FLASH_AB.json", flush=True)
+    # compact the append-only resume log: keep the newest row per shape so
+    # full reruns don't accumulate duplicates forever
+    latest = {}
+    if os.path.exists(ROWS_JSONL):
+        with open(ROWS_JSONL) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    latest[r["shape"]] = r
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    for r in results:
+        latest[r["shape"]] = r
+    with open(ROWS_JSONL, "w") as f:
+        for r in latest.values():
+            f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -345,14 +345,19 @@ def main() -> None:
     print(f"\nwrote {args.out} / {out_md}", flush=True)
 
     # regenerate the reference-schema W&B CSV exports (figures_data parity;
-    # reference figures/README.md:139-153) from whatever run dirs now exist
+    # reference figures/README.md:139-153) from whatever run dirs now exist.
+    # Difficulty presets export to separate directories — default-preset CSVs
+    # are the reference-comparable artifact and must not absorb hard-preset
+    # series under the same filenames (ADVICE r4 medium #2).
     try:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from export_csv import DEFAULT_RUN_DIRS, export_all
-        written = export_all([d for d in DEFAULT_RUN_DIRS if os.path.isdir(d)],
-                             "figures_data")
-        if written:
-            print(f"wrote {len(written)} figures_data CSVs", flush=True)
+        dirs = [d for d in DEFAULT_RUN_DIRS if os.path.isdir(d)]
+        for difficulty, out_dir in (("default", "figures_data"),
+                                    ("hard", "figures_data_hard")):
+            written = export_all(dirs, out_dir, difficulty=difficulty)
+            if written:
+                print(f"wrote {len(written)} {out_dir} CSVs", flush=True)
     except Exception as e:  # export failure must not fail the campaign
         print(f"[warn] figures_data export failed: {e}", flush=True)
 

@@ -33,13 +33,48 @@ RUNS = [
      {"dataset.pack": False, "output.run_name": "agtt-zinc-unpacked"}),
 ]
 
-BASELINE_ROWS = {"ibtt-zinc-pack": "ibtt-zinc", "agtt-zinc-pack": "agtt-zinc"}
+# packed run -> its UNPACKED baseline. The unpacked side must actually have
+# run unpacked: ibtt-zinc's shipped config is pack:false, so its RESULTS.json
+# row qualifies; agtt-zinc's shipped config is pack:true, so the baseline is
+# the dedicated agtt-zinc-unpacked run in THIS file (the r4 artifact wrongly
+# pointed it at the packed RESULTS.json agtt-zinc row — ADVICE r4 medium #1).
+BASELINE_ROWS = {
+    "ibtt-zinc-pack": ("results_json", "ibtt-zinc"),
+    "agtt-zinc-pack": ("self", "agtt-zinc-unpacked"),
+}
+
+
+def _fixup_comparisons(results: dict, baselines: dict) -> None:
+    """(Re)compute each packed row's unpacked_* comparison fields from the
+    correct baseline source — runs on every invocation so stale embedded
+    fields from older protocol versions are corrected in place."""
+    for name, (src, key) in BASELINE_ROWS.items():
+        res = results.get(name)
+        if not res or "error" in res:
+            continue
+        base = (results if src == "self" else baselines).get(key, {})
+        if "error" in base:
+            base = {}
+        res.pop("unpacked_best_val", None)
+        res.pop("unpacked_steady_epoch_s", None)
+        res.pop("epoch_time_ratio", None)
+        if base:
+            res["unpacked_source"] = ("ZINC_PACK_AB:" + key if src == "self"
+                                      else "RESULTS.json:" + key)
+            res["unpacked_best_val"] = base.get("best_val")
+            res["unpacked_steady_epoch_s"] = base.get("steady_epoch_s")
+            if base.get("steady_epoch_s") and res.get("steady_epoch_s"):
+                res["epoch_time_ratio"] = round(
+                    res["steady_epoch_s"] / base["steady_epoch_s"], 3)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="ZINC_PACK_AB.json")
     ap.add_argument("--stall-secs", type=int, default=1200)
+    ap.add_argument("--fixup-only", action="store_true",
+                    help="recompute the unpacked_* comparison fields from "
+                         "the cached runs without touching the TPU")
     args = ap.parse_args()
 
     results = {}
@@ -54,23 +89,25 @@ def main() -> None:
 
     os.makedirs("/tmp/gbt_runs", exist_ok=True)
     for name, model, config_path, overrides in RUNS:
+        if args.fixup_only:
+            break
         if name in results and "error" not in results[name]:
             print(f"[{name}] cached", flush=True)
             continue
         print(f"\n{'=' * 80}\nZINC PACK A/B {name}\n{'=' * 80}", flush=True)
         res = run_with_watchdog(name, model, config_path, overrides,
                                 f"/tmp/gbt_runs/{name}.json", args.stall_secs)
-        base = baselines.get(BASELINE_ROWS.get(name, ""), {})
-        if "error" not in res and base:
-            res["unpacked_best_val"] = base.get("best_val")
-            res["unpacked_steady_epoch_s"] = base.get("steady_epoch_s")
-            if base.get("steady_epoch_s"):
-                res["epoch_time_ratio"] = round(
-                    res["steady_epoch_s"] / base["steady_epoch_s"], 3)
         results[name] = res
+        _fixup_comparisons(results, baselines)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
         print(f"[{name}] -> {json.dumps(res)}", flush=True)
+
+    _fixup_comparisons(results, baselines)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    for name in BASELINE_ROWS:
+        print(f"[{name}] -> {json.dumps(results.get(name))}", flush=True)
 
 
 if __name__ == "__main__":
