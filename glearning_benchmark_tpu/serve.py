@@ -31,6 +31,7 @@ bundle from the stored config.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -156,6 +157,53 @@ class Predictor:
             outs.append(self._apply(batch)[:take])
             i += take
         return np.concatenate(outs, axis=0) if outs else np.zeros((0,))
+
+    # -- warmup (pre-compile the bucket grid at load time) ------------------
+
+    def _proto_rows(self) -> Dict[str, np.ndarray]:
+        """One representative input row, built through the REAL encoding
+        paths so warmup compiles exactly the shapes/dtypes the predict
+        paths produce (no shape guessing to drift)."""
+        g = Graph(edges=np.asarray([[0, 1]], np.int32), num_nodes=2,
+                  y=0.0 if self.task == "zinc" else 0,
+                  node_labels=np.zeros(2, np.int32),
+                  edge_labels=np.ones(1, np.int32),
+                  query_u=0, query_v=1)
+        if self.model_name == "agtt":
+            return self._encode_trail_rows([g])
+        if self.model_name in ("mpnn", "ggps"):
+            return self._encode_graph_rows([g])
+        if self.task == "zinc":
+            text = tokenize_zinc_molecule(
+                g, max_len=int(self.serve["meta"]["max_len"]))
+            return self._encode_token_rows([text])
+        return self._encode_token_rows(["<bos> <eos>"])
+
+    def warmup(self, batch_buckets: Optional[Sequence[int]] = None
+               ) -> Dict[int, float]:
+        """Pre-compile the jitted forward for the given batch buckets
+        (default: every power of two up to ``max_batch``), moving the
+        first compile — ~30 s through a remote-compile tunnel
+        (SERVE_BENCH.json r4 ibtt batch=1 cold) — out of the request
+        path. Returns {bucket: seconds} per compiled bucket. Requested
+        sizes round up to the power-of-two grid ``_batched`` actually
+        uses, so a warmed bucket is exactly a served shape.
+        """
+        if batch_buckets is None:
+            batch_buckets, b = [], 1
+            while b <= self.max_batch:
+                batch_buckets.append(b)
+                b *= 2
+        buckets = sorted({_next_pow2(int(b), self.max_batch)
+                          for b in batch_buckets if b > 0})
+        proto = self._proto_rows()
+        timings: Dict[int, float] = {}
+        for b in buckets:
+            rows = {k: np.repeat(v, b, axis=0) for k, v in proto.items()}
+            t0 = time.perf_counter()
+            self._apply(rows)
+            timings[int(b)] = round(time.perf_counter() - t0, 4)
+        return timings
 
     # -- tokenization of raw inputs (same paths as training) ---------------
 

@@ -85,6 +85,43 @@ def test_serve_ibtt_matches_eval_forward(tmp_path):
     assert np.array_equal(got["pred"], np.concatenate(chunks))
 
 
+def test_warmup_precompiles_buckets(tmp_path):
+    """Predictor.warmup (r5): compiles the requested power-of-two buckets
+    into the jit cache so the first real request at those shapes hits the
+    cache; requested sizes round up to the served pow2 grid; predictions
+    after warmup equal predictions without it."""
+    root, out, _ = _trained(tmp_path, "ibtt")
+    cold = Predictor.from_checkpoint(f"{out}/best_r")
+    ex = load_examples_multi_algorithm(root, "cycle_check", ["ba"], "val",
+                                       **LOAD_KW)
+    texts = [e["text"] for e in ex]
+    baseline = cold.predict_texts(texts)["pred"]
+
+    p = Predictor.from_checkpoint(f"{out}/best_r")
+    timings = p.warmup([1, 3, 8])          # 3 rounds up to 4
+    assert sorted(timings) == [1, 4, 8]
+    assert all(t >= 0 for t in timings.values())
+    n_compiled = len(p._jit_cache)
+    assert n_compiled == 3
+    # a request inside the warmed grid adds no new compile cache entries
+    got = p.predict_texts(texts[:3])       # pads to bucket 4
+    assert len(p._jit_cache) == n_compiled
+    assert np.array_equal(got["pred"], baseline[:3])
+
+    # default grid = all powers of two up to max_batch
+    q = Predictor.from_checkpoint(f"{out}/best_r", max_batch=8)
+    assert sorted(q.warmup()) == [1, 2, 4, 8]
+
+
+def test_warmup_graph_families(tmp_path):
+    """warmup builds proto rows through the real graph/trail encoders."""
+    for name in ("mpnn", "agtt"):
+        _, out, _ = _trained(tmp_path, name)
+        p = Predictor.from_checkpoint(f"{out}/best_r")
+        timings = p.warmup([2])
+        assert list(timings) == [2] and len(p._jit_cache) == 1
+
+
 def test_serve_mpnn_graphs(tmp_path):
     root, out, cfg = _trained(tmp_path, "mpnn")
     p = Predictor.from_checkpoint(f"{out}/best_r")

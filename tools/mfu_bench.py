@@ -443,6 +443,15 @@ def main() -> None:
         print(json.dumps(r), flush=True)
         rows.append(r)
 
+    # merge by shape so campaign invocations at different batch sizes
+    # (e.g. d2048 runs B=16) compose into one artifact
+    if os.path.exists(args.out):
+        old = json.load(open(args.out)).get("rows", [])
+        new_keys = {(r["d_model"], r["batch"], r["seq"]) for r in rows}
+        rows = [r for r in old
+                if (r.get("d_model"), r.get("batch"), r.get("seq"))
+                not in new_keys] + rows
+        rows.sort(key=lambda r: (r.get("d_model", 0), r.get("batch", 0)))
     with open(args.out, "w") as f:
         json.dump({"chip": chip,
                    **({"measured_matmul_tflops": round(measured, 1)}

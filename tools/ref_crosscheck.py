@@ -262,6 +262,21 @@ R4_RUNS = {
             "train_algorithms": ["er", "sbm", "path"], "test_algorithm": "ba",
             "use_split_tasks_dirs": True, "num_graphs": 300,
             "num_pairs_per_graph": 10, "generate_num_graphs": 500}),
+    # r5: the fourth family (VERDICT r4 next-step #3) — same dataset specs
+    # as the gps campaign runs (configs/gps_graph_token.yaml +
+    # tools/run_benchmarks.py gps-cycle/gps-sp overrides)
+    "gps-cycle": dict(
+        family="gps", epochs=100,
+        ds={"graph_token_root": "data/graph-token", "task": "cycle_check",
+            "train_algorithms": ["ba", "sbm"], "test_algorithm": "sfn",
+            "use_split_tasks_dirs": True, "num_graphs": 500,
+            "num_pairs_per_graph": 10, "generate_num_graphs": 500}),
+    "gps-sp": dict(
+        family="gps", epochs=300,
+        ds={"graph_token_root": "data/graph-token", "task": "shortest_path",
+            "train_algorithms": ["er", "sbm", "path"], "test_algorithm": "ba",
+            "use_split_tasks_dirs": True, "num_graphs": 300,
+            "num_pairs_per_graph": 10, "generate_num_graphs": 500}),
 }
 
 AGTT_HP = {  # configs/agtt_graph_token.yaml model/train sections
@@ -271,6 +286,11 @@ AGTT_HP = {  # configs/agtt_graph_token.yaml model/train sections
 MPNN_HP = {  # configs/mpnn_graph_token.yaml model/train sections
     "hidden_dim": 64, "num_layers": 5, "dropout": 0.1, "pooling": "mean",
     "batch_size": 128, "lr": 1e-3, "weight_decay": 1e-5, "seed": 0,
+}
+GPS_HP = {  # reference configs/gps_graph_token.yaml gt/optim sections
+    "dim": 32, "layers": 4, "heads": 4, "dropout": 0.0, "attn_dropout": 0.1,
+    "batch_size": 128, "lr": 1e-3, "weight_decay": 1e-5, "warmup_epochs": 5,
+    "seed": 0,
 }
 
 
@@ -477,6 +497,239 @@ def run_mpnn(name: str, epochs: int, ds_cfg: dict) -> dict:
             "val_examples": len(graphs["val"]), "wall_s": round(wall, 1)}
 
 
+def _build_gps_stub(in_dim: int, dim_out: int):
+    """Spec-faithful torch GPS model (the GraphGPS repo is absent from the
+    reference snapshot, so this is a RECONSTRUCTION from the reference's own
+    spec surfaces, not the unobservable GraphGPS code):
+
+    - layer recipe: reference docs/models/ggps.md:93-160 — sequential
+      residuals h+=LocalGIN; h+=GlobalAttn; h+=FFN, GIN local model per
+      gt.layer_type 'GIN+Transformer' (configs/gps_graph_token.yaml:41)
+    - norms: BatchNorm1d after each residual (gt.batch_norm: true,
+      gt.layer_norm: false)
+    - node encoder: Linear(in_dim, 32) (dataset.node_encoder_name
+      'LinearNode'; no positional-encoding sections in the config, so
+      h0 = Linear(x) with no PE term)
+    - attention: torch MultiheadAttention(32, 4, dropout=attn_dropout)
+      over each graph's densified node axis (docs/models/ggps.md:131-137:
+      "full self-attention over nodes" with batch membership masking)
+    - FFN: 2x expansion with gt.dropout inside — mirrors the same reading
+      our models/gps.py uses, so the crosscheck compares like-for-like
+    - head: mean pool + Linear(32, dim_out) (model.graph_pooling 'mean',
+      gnn.head 'graph', gnn.layers_post_mp: 1)
+    """
+    import torch
+    import torch.nn as nn
+
+    from torch_geometric.nn import GINConv  # the stub registered above
+
+    dim = GPS_HP["dim"]
+
+    class GPSLayerStub(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gin = GINConv(nn.Sequential(
+                nn.Linear(dim, dim), nn.ReLU(), nn.Linear(dim, dim)))
+            self.attn = nn.MultiheadAttention(
+                dim, GPS_HP["heads"], dropout=GPS_HP["attn_dropout"],
+                batch_first=True)
+            self.bn_local = nn.BatchNorm1d(dim)
+            self.bn_attn = nn.BatchNorm1d(dim)
+            self.bn_ff = nn.BatchNorm1d(dim)
+            self.ff1 = nn.Linear(dim, 2 * dim)
+            self.ff2 = nn.Linear(2 * dim, dim)
+            self.drop = nn.Dropout(GPS_HP["dropout"])
+
+        def forward(self, h, edge_index, dense_idx, pad_mask):
+            h = self.bn_local(h + self.drop(self.gin(h, edge_index)))
+            # densify per graph for global attention (GraphGPS
+            # to_dense_batch equivalent): dense_idx maps flat node i ->
+            # (graph, slot); pad_mask True = padding slot
+            b, nmax = pad_mask.shape
+            dense = h.new_zeros((b, nmax, h.size(1)))
+            dense[dense_idx[0], dense_idx[1]] = h
+            attn_out, _ = self.attn(dense, dense, dense,
+                                    key_padding_mask=pad_mask,
+                                    need_weights=False)
+            h = self.bn_attn(h + self.drop(
+                attn_out[dense_idx[0], dense_idx[1]]))
+            y = self.ff2(self.drop(torch.relu(self.ff1(h))))
+            return self.bn_ff(h + self.drop(y))
+
+    class GPSStub(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.node_encoder = nn.Linear(in_dim, dim)
+            self.layers = nn.ModuleList(
+                GPSLayerStub() for _ in range(GPS_HP["layers"]))
+            self.head = nn.Linear(dim, dim_out)
+
+        def forward(self, data):
+            h = self.node_encoder(data.x)
+            for layer in self.layers:
+                h = layer(h, data.edge_index, data.dense_idx, data.pad_mask)
+            # mean pool per graph
+            n_seg = data.pad_mask.size(0)
+            pooled = h.new_zeros((n_seg, h.size(1))).index_add_(
+                0, data.batch, h)
+            cnt = h.new_zeros(n_seg).index_add_(
+                0, data.batch, h.new_ones(h.size(0)))
+            return self.head(pooled / cnt.clamp(min=1).unsqueeze(1))
+
+    return GPSStub()
+
+
+def run_gps(name: str, epochs: int, ds_cfg: dict) -> dict:
+    """Spec-faithful torch GPS (``_build_gps_stub``) on the SAME graphs our
+    gps campaign runs train on, with the reference's wrapper/optimizer
+    behavior (train_ggps.py:110-148 loss handling incl. the cycle_check
+    1-logit head trained through CrossEntropyLoss' probability-target mode
+    — the reference's actual observable behavior, kept verbatim;
+    train_ggps.py:419-443 AdamW + cosine_with_warmup + clip(1.0))."""
+    import math
+
+    import torch
+
+    _stub_pyg_and_autograph()
+
+    from glearning_benchmark_tpu.train.datasets import _load_synthetic_graphs
+
+    if "wandb" not in sys.modules:
+        sys.modules["wandb"] = types.ModuleType("wandb")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import graph_data_loader.graph_token_dataset_nativegraph as ref_ng
+
+    task = ds_cfg["task"]
+    graphs = _load_synthetic_graphs(ds_cfg, seed=GPS_HP["seed"])
+    use_q = task == "shortest_path"
+
+    def to_items(gs):
+        """Reference Data assembly (same as run_mpnn: nativegraph.py
+        directed as-parsed edge_index, x=ones(N,1) [+ query columns] —
+        train_ggps.py:398-400 reads dim_in from exactly these features)."""
+        items = []
+        for gr in gs:
+            n = gr.num_nodes
+            x = torch.ones((n, 1), dtype=torch.float)
+            if use_q:
+                x = ref_ng.add_query_encoding_to_features(
+                    x, int(gr.query_u), int(gr.query_v))
+            e = (torch.from_numpy(np.ascontiguousarray(gr.edges)).long().t()
+                 if len(gr.edges) else torch.empty((2, 0), dtype=torch.long))
+            items.append((x, e, n, int(gr.y)))
+        return items
+
+    def collate(chunk):
+        """Block-diagonal batch + the dense-attention index maps."""
+        xs, eis, bvec, ys, off = [], [], [], [], 0
+        ns = [n for (_, _, n, _) in chunk]
+        nmax = max(ns)
+        for bi, (x, e, n, y) in enumerate(chunk):
+            xs.append(x)
+            eis.append(e + off)
+            bvec.append(torch.full((n,), bi, dtype=torch.long))
+            ys.append(y)
+            off += n
+        batch = torch.cat(bvec)
+        slot = torch.cat([torch.arange(n) for n in ns])
+        pad_mask = torch.ones((len(chunk), nmax), dtype=torch.bool)
+        pad_mask[batch, slot] = False
+        data = types.SimpleNamespace(
+            x=torch.cat(xs), edge_index=torch.cat(eis, dim=1), batch=batch,
+            dense_idx=(batch, slot), pad_mask=pad_mask)
+        return (data,), torch.tensor(ys, dtype=torch.long)
+
+    torch.manual_seed(GPS_HP["seed"])
+    # dim_out per train_ggps.py:390-396: 1 for cycle_check (BCE-style
+    # single logit), num_classes for shortest_path
+    dim_out = 7 if use_q else 1
+    in_dim = 3 if use_q else 1
+    model = _build_gps_stub(in_dim, dim_out)
+    opt = torch.optim.AdamW(model.parameters(), lr=GPS_HP["lr"],
+                            weight_decay=GPS_HP["weight_decay"])
+    ce = torch.nn.CrossEntropyLoss()
+
+    def crit(pred, y):
+        if use_q:
+            return ce(pred, y)
+        # the reference's cycle_check path (train_ggps.py:131-134):
+        # pred.squeeze() -> [B] single logits, target float -> CE falls
+        # into probability-target mode over the batch axis. Kept verbatim
+        # — it is what the reference's own training computes.
+        return ce(pred.squeeze(-1), y.float())
+
+    warm, maxep = GPS_HP["warmup_epochs"], epochs
+
+    def lr_lambda(ep):  # cosine_with_warmup, per-epoch (GraphGym steps/epoch)
+        if ep < warm:
+            return (ep + 1) / warm
+        prog = (ep - warm) / max(1, maxep - warm)
+        return 0.5 * (1.0 + math.cos(math.pi * prog))
+
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda)
+
+    train_items = to_items(graphs["train"])
+    val_items = to_items(graphs["val"])
+    bs = GPS_HP["batch_size"]
+    val_b = [collate(val_items[s:s + bs])
+             for s in range(0, len(val_items), bs)]
+    print(f"[{name}] {len(train_items)} train / {len(val_items)} val "
+          f"graphs, in_dim={in_dim}, dim_out={dim_out}")
+
+    def make_batches(perm):
+        for s in range(0, len(perm), bs):
+            idx = perm[s:s + bs]
+            if not use_q and len(idx) < 2:
+                # the reference's cycle loss is a batch-axis softmax; a
+                # singleton batch is degenerate (and 0-dim squeeze would
+                # crash CE) — skip it like a drop_last loader would
+                continue
+            yield collate([train_items[int(i)] for i in idx])
+
+    @torch.no_grad()
+    def val_acc() -> float:
+        model.eval()
+        hit = tot = 0
+        for args, y in val_b:
+            pred = model(*args)
+            if use_q:
+                p = pred.argmax(-1)
+            else:  # metrics.py:62-64 single-logit path
+                p = (torch.sigmoid(pred.squeeze(-1)) > 0.5).long()
+            hit += int((p == y).sum())
+            tot += len(y)
+        return hit / max(tot, 1)
+
+    g = torch.Generator().manual_seed(GPS_HP["seed"])
+    best, hist, t0 = 0.0, [], time.time()
+    for ep in range(1, epochs + 1):
+        model.train()
+        perm = torch.randperm(len(train_items), generator=g)
+        for args, y in make_batches(perm):
+            opt.zero_grad(set_to_none=True)
+            loss = crit(model(*args), y)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            opt.step()
+        sched.step()
+        acc = val_acc()
+        best = max(best, acc)
+        hist.append(round(acc, 4))
+        print(f"[{name}] epoch {ep:3d} val_acc {acc:.4f} "
+              f"(best {best:.4f}, {time.time() - t0:.0f}s)", flush=True)
+    return {"run": name, "family": "gps", "task": task, "epochs": epochs,
+            "best_val_acc": best, "val_acc_history": hist,
+            "train_examples": len(train_items),
+            "val_examples": len(val_items),
+            "wall_s": round(time.time() - t0, 1),
+            "stub_note": "spec-faithful torch GPS reconstruction "
+                         "(docs/models/ggps.md:93-160 + gt config), NOT "
+                         "the unobservable GraphGPS code; see "
+                         "_build_gps_stub docstring for the documented "
+                         "fidelity assumptions"}
+
+
 def harvest(log_path: str, corpus: str, out: str) -> None:
     """Recover a partial run's per-epoch history from its log (the run only
     writes JSON at completion; a wall-clock-killed run still leaves every
@@ -505,8 +758,9 @@ def main() -> None:
     ap.add_argument("--corpus", default="both",
                     choices=["default", "small", "medium", "both"])
     ap.add_argument("--run", default=None,
-                    choices=sorted(R4_RUNS) + ["all-r4"],
-                    help="agtt/mpnn same-corpus rows (overrides --corpus)")
+                    choices=sorted(R4_RUNS) + ["all-r4", "all-r5"],
+                    help="agtt/mpnn/gps same-corpus rows (overrides "
+                         "--corpus; all-r5 = the two gps rows)")
     ap.add_argument("--epochs", type=int, default=None,
                     help="override (default: 150 ibtt; campaign epochs r4)")
     ap.add_argument("--out", default="REF_CROSSCHECK.json")
@@ -527,10 +781,15 @@ def main() -> None:
         results = json.load(open(args.out))
 
     if args.run:
-        names = sorted(R4_RUNS) if args.run == "all-r4" else [args.run]
+        names = {"all-r4": [n for n in sorted(R4_RUNS)
+                            if R4_RUNS[n]["family"] != "gps"],
+                 "all-r5": [n for n in sorted(R4_RUNS)
+                            if R4_RUNS[n]["family"] == "gps"],
+                 }.get(args.run, [args.run])
         for name in names:
             spec = R4_RUNS[name]
-            fn = run_agtt if spec["family"] == "agtt" else run_mpnn
+            fn = {"agtt": run_agtt, "mpnn": run_mpnn,
+                  "gps": run_gps}[spec["family"]]
             results[name] = fn(name, args.epochs or spec["epochs"],
                                spec["ds"])
             with open(args.out, "w") as f:

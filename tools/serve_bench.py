@@ -120,6 +120,19 @@ def _bench_family(family: str, out_dir: str, corpus_root: str,
         call(requests(bs, 0))
         cold_s = time.perf_counter() - t0
 
+        # warmed variant (r5 Predictor.warmup): a second fresh Predictor
+        # pre-compiles this bucket at load, then the first REAL request is
+        # timed — the latency a warmed server actually serves
+        pw = Predictor.from_checkpoint(ckpt)
+        callw = pw.predict_texts if family == "ibtt" else pw.predict_graphs
+        t0 = time.perf_counter()
+        warm_timings = pw.warmup([bs])
+        warmup_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        callw(requests(bs, 0))
+        warmed_first_s = time.perf_counter() - t0
+        del warm_timings
+
         reps = 30 if bs <= 64 else 12
         lats = []
         for i in range(reps):
@@ -132,6 +145,8 @@ def _bench_family(family: str, out_dir: str, corpus_root: str,
         p99 = float(np.percentile(lats, 99))
         row = {"family": family, "batch": bs,
                "cold_first_call_ms": round(cold_s * 1e3, 1),
+               "warmup_s": round(warmup_s, 2),
+               "warmed_first_call_ms": round(warmed_first_s * 1e3, 1),
                "warm_p50_ms": round(p50 * 1e3, 2),
                "warm_p99_ms": round(p99 * 1e3, 2),
                "graphs_per_s_at_p50": round(bs / p50, 1),
@@ -179,8 +194,11 @@ def main() -> None:
                                "tokenize -> static-shape bucket -> jitted "
                                "forward -> host fetch; cold = fresh "
                                "Predictor first call (persistent compile "
-                               "cache active); task cycle_check at each "
-                               "family's benchmark config shape",
+                               "cache active); warmed_first_call = first "
+                               "real request after Predictor.warmup "
+                               "pre-compiled the bucket at load (warmup_s "
+                               "= that load-time cost); task cycle_check "
+                               "at each family's benchmark config shape",
                        "batch_buckets": list(BATCH_BUCKETS),
                        "families": results}, f, indent=1)
     print(f"wrote {args.out}", flush=True)
