@@ -112,6 +112,18 @@ def test_train_prng_impl_rbg(corpus_root, tmp_path):
     assert ckpt is not None and np.isfinite(ckpt["best_val"])
 
 
+def test_train_mu_dtype_bf16(corpus_root, tmp_path):
+    """`train.mu_dtype: bfloat16` (r5: +2.5 MFU points at d2048 from
+    halved AdamW mu traffic) must train, keep the mu state in bf16, and
+    checkpoint/restore through the same path as f32 state."""
+    cfg = _config(corpus_root, str(tmp_path), epochs=2)
+    cfg["train"]["mu_dtype"] = "bfloat16"
+    res = train(cfg, "ibtt", verbose=False)
+    assert res.history[-1]["train/loss"] < res.history[0]["train/loss"]
+    ckpt = load_checkpoint(str(tmp_path / "best_t"))
+    assert ckpt is not None and np.isfinite(ckpt["best_val"])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     state = {
         "params": {"dense": {"kernel": np.ones((3, 2)), "bias": np.zeros(2)}},

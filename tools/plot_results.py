@@ -282,11 +282,13 @@ def crosscheck_curves(out_dir, crosscheck_paths=("REF_CROSSCHECK.json",
 
 def crosscheck_curves_r4(out_dir, crosscheck_path="REF_CROSSCHECK.json",
                          results_path="RESULTS.json",
-                         out_name="agtt_mpnn_crosscheck.png"):
-    """Round-4 same-corpus crosscheck panels: the reference's own torch
-    AGTT/MPNN (tools/ref_crosscheck.py --run all-r4) trained on OUR
-    campaign corpora, vs our committed best-val from the uniform campaign
-    (RESULTS.json level line). One panel per (family, task)."""
+                         out_name="family_crosscheck.png"):
+    """Same-corpus crosscheck panels: the reference's own torch AGTT/MPNN
+    (tools/ref_crosscheck.py --run all-r4) and the spec-faithful torch GPS
+    stub (--run all-r5) trained on OUR campaign corpora, vs our committed
+    best-val from the uniform campaign (RESULTS.json level line). One
+    panel per (family, task); with the r5 gps rows the crosscheck covers
+    all four model families."""
     if not os.path.isfile(crosscheck_path):
         print("  (no r4 cross-check data yet)")
         return None
@@ -294,11 +296,12 @@ def crosscheck_curves_r4(out_dir, crosscheck_path="REF_CROSSCHECK.json",
     ours = {}
     if os.path.isfile(results_path):
         res = json.load(open(results_path))
-        for key in ("agtt-cycle", "agtt-sp", "mpnn-cycle", "mpnn-sp"):
+        for key in ("agtt-cycle", "agtt-sp", "mpnn-cycle", "mpnn-sp",
+                    "gps-cycle", "gps-sp"):
             if key in res and "best_val" in res[key]:
                 ours[key] = float(res[key]["best_val"])
-    panels = [k for k in ("agtt-cycle", "agtt-sp", "mpnn-cycle", "mpnn-sp")
-              if k in ref]
+    panels = [k for k in ("agtt-cycle", "agtt-sp", "mpnn-cycle", "mpnn-sp",
+                          "gps-cycle", "gps-sp") if k in ref]
     if not panels:
         print("  (no r4 cross-check rows yet)")
         return None
