@@ -36,6 +36,12 @@ from .graphs import Graph, GraphCorpus
 ZINC_NUM_ATOM_TYPES = 9   # C N O F P S Cl Br I (reference zinc_vocab.py:20)
 ZINC_NUM_BOND_TYPES = 4   # single double triple aromatic (1-based ids)
 
+# Version of the stand-in generator (structure + target). Included in the
+# dataset-cache key (train/datasets.py _cache_path) so stand-in changes
+# invalidate cached bundles — without this, the r5 target redesign
+# silently trained on r4-labeled cache hits.
+ZINC_STANDIN_VERSION = 2
+
 _ATOM_SYMBOLS = ["C", "N", "O", "F", "P", "S", "Cl", "Br", "I"]
 _BOND_NAMES = {1: "single", 2: "double", 3: "triple", 4: "aromatic"}
 

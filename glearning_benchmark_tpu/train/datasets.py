@@ -88,11 +88,12 @@ def _cache_path(model_name: str, dataset_cfg: dict, seed: int, limit) -> Optiona
     # version the key so generator/tokenizer changes invalidate stale caches
     from .. import __version__ as _pkg_version
     from ..data.generator import GENERATOR_VERSION as _gen_version
+    from ..data.zinc import ZINC_STANDIN_VERSION as _zinc_version
     key_src = _json.dumps({"model": model_name, "cfg": dataset_cfg,
                            "seed": seed, "limit": limit,
                            "format": 2, "pkg": _pkg_version,
-                           "gen": _gen_version}, sort_keys=True,
-                          default=str)
+                           "gen": _gen_version, "zinc": _zinc_version},
+                          sort_keys=True, default=str)
     return os.path.join(root, "processed",
                         f"{model_name}_{dataset_cfg.get('task')}_{stable_hash(key_src):016x}")
 

@@ -40,6 +40,20 @@ def test_cache_key_sensitivity():
     assert len({p1, p2, p3, p4}) == 4
 
 
+def test_cache_key_versions_zinc_standin(monkeypatch):
+    """Bumping ZINC_STANDIN_VERSION must change the cache key (r5: the
+    target redesign silently trained on r4-labeled cache hits because the
+    zinc stand-in had no version in the key)."""
+    import glearning_benchmark_tpu.data.zinc as zmod
+    cfg = {"zinc_root": tempfile.mkdtemp(), "task": "zinc",
+           "max_len": 128, "max_vocab": 600}
+    p1 = _cache_path("ibtt", cfg, 0, None)
+    monkeypatch.setattr(zmod, "ZINC_STANDIN_VERSION",
+                        zmod.ZINC_STANDIN_VERSION + 1)
+    p2 = _cache_path("ibtt", cfg, 0, None)
+    assert p1 != p2
+
+
 def test_cache_disabled():
     root = tempfile.mkdtemp()
     cfg = _cfg(root, cache=False)
