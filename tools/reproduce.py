@@ -85,7 +85,7 @@ STEPS = [
       "--batch", "32", "--out", "MFU_ATTRIB_1024.json"],
      ["MFU_ATTRIB_1024.json"], True, 10800),
     ("serve",
-     [sys.executable, "tools/serve_bench.py"],
+     [sys.executable, "tools/serve_bench.py", "--rerun"],
      ["SERVE_BENCH.json"], True, 7200),
     ("scaling",
      [sys.executable, "tools/run_benchmarks.py", "--set", "scaling"],

@@ -164,6 +164,10 @@ def main() -> None:
     ap.add_argument("--out-dir", default="runs_serve_bench")
     ap.add_argument("--corpus", default="data/graph-token-serve")
     ap.add_argument("--out", default="SERVE_BENCH.json")
+    ap.add_argument("--rerun", action="store_true",
+                    help="re-measure families already present in --out "
+                         "(the default resume exists because the tunnel "
+                         "can die mid-campaign)")
     args = ap.parse_args()
     # anchor artifacts at the repo root regardless of CWD (matches
     # scaling_bench) so resume finds the committed file
@@ -177,7 +181,7 @@ def main() -> None:
     import jax
 
     results = []
-    if os.path.exists(args.out):
+    if os.path.exists(args.out) and not args.rerun:
         results = json.load(open(args.out)).get("families", [])
         done = {r["family"] for r in results}
     else:
