@@ -222,7 +222,8 @@ def build_ibtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
 
     if task == "zinc":
         mols = {s: load_zinc_split(dataset_cfg.get("zinc_root", "./data/ZINC"), s,
-                                   subset=dataset_cfg.get("subset", True), limit=limit)
+                                   subset=dataset_cfg.get("subset", True), limit=limit,
+                                   target_weights=dataset_cfg.get("zinc_target_weights"))
                 for s in SPLITS}
         texts = {s: [tokenize_zinc_molecule(m, max_len=max_len) for m in mols[s]]
                  for s in SPLITS}
@@ -296,7 +297,8 @@ def build_agtt_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = None
 
     if is_zinc:
         graphs = {s: load_zinc_split(dataset_cfg.get("zinc_root", "./data/ZINC"), s,
-                                     subset=dataset_cfg.get("subset", True), limit=limit)
+                                     subset=dataset_cfg.get("subset", True), limit=limit,
+                                     target_weights=dataset_cfg.get("zinc_target_weights"))
                   for s in SPLITS}
     else:
         graphs = _load_synthetic_graphs(dataset_cfg, seed)
@@ -414,7 +416,8 @@ def build_graph_dataset(dataset_cfg: dict, seed: int, limit: Optional[int] = Non
     is_zinc = task == "zinc"
     if is_zinc:
         graphs = {s: load_zinc_split(dataset_cfg.get("zinc_root", "./data/ZINC"), s,
-                                     subset=dataset_cfg.get("subset", True), limit=limit)
+                                     subset=dataset_cfg.get("subset", True), limit=limit,
+                                     target_weights=dataset_cfg.get("zinc_target_weights"))
                   for s in SPLITS}
     else:
         graphs = _load_synthetic_graphs(dataset_cfg, seed)
