@@ -84,6 +84,12 @@ STEPS = [
      [sys.executable, "tools/mfu_bench.py", "--attrib", "--d-model", "1024",
       "--batch", "32", "--out", "MFU_ATTRIB_1024.json"],
      ["MFU_ATTRIB_1024.json"], True, 10800),
+    ("zinc-seeds",
+     [sys.executable, "tools/zinc_seeds.py"],
+     ["ZINC_SEEDS.json"], True, 10800),
+    ("zinc-probe",
+     [sys.executable, "tools/zinc_target_probe.py"],
+     ["ZINC_TARGET_PROBE.json"], True, 10800),
     ("serve",
      [sys.executable, "tools/serve_bench.py", "--rerun"],
      ["SERVE_BENCH.json"], True, 7200),
