@@ -80,6 +80,11 @@ def discover(run_dirs) -> List[dict]:
                 except Exception:
                     cfg = {}
             ds = cfg.get("dataset", cfg.get("data", {})) or {}
+            if ds.get("zinc_target_weights"):
+                # component-probe targets (zinc_target_probe.py) are
+                # different regression problems — keep them out of the
+                # campaign CSV exports
+                continue
             task = ds.get("task") or "?"
             dataset = "+".join(ds.get("train_algorithms", []) or [])
             model = _model_from_dir((cfg.get("output") or {}).get("out_dir", d)) \

@@ -87,8 +87,13 @@ def load_jsonl(path):
     return rows
 
 
-def discover_runs(run_dirs):
-    """Yield dicts {name, model, task, dataset, history} per completed run."""
+def discover_runs(run_dirs, difficulty="default"):
+    """Yield dicts {name, model, task, dataset, history} per completed run.
+
+    ``difficulty`` filters by the run config's dataset.difficulty
+    ('all' disables) — hard-preset runs share the same run dirs and would
+    otherwise mix into the default-campaign figures (same rationale as
+    export_csv's filter, ADVICE r4 medium #2)."""
     runs = []
     for d in run_dirs:
         for mpath in sorted(glob.glob(os.path.join(d, "*_metrics.jsonl"))):
@@ -96,6 +101,7 @@ def discover_runs(run_dirs):
             cpath = os.path.join(d, f"best_{name}.json")
             model = task = None
             dataset = ""
+            run_difficulty = "default"
             if os.path.isfile(cpath):
                 try:
                     with open(cpath) as f:
@@ -103,10 +109,18 @@ def discover_runs(run_dirs):
                     ds = cfg.get("dataset", {})
                     task = ds.get("task")
                     dataset = "+".join(ds.get("train_algorithms", []) or [])
+                    run_difficulty = ds.get("difficulty") or "default"
+                    if ds.get("zinc_target_weights"):
+                        # component-probe targets (zinc_target_probe.py)
+                        # are different regression problems — never mix
+                        # them into the default zinc figures
+                        run_difficulty = "probe"
                     out = cfg.get("output", {})
                     model = _model_from_dir(out.get("out_dir", d))
                 except Exception:
                     pass
+            if difficulty != "all" and run_difficulty != difficulty:
+                continue
             if model is None:
                 model = _model_from_dir(d)
             history = [r for r in load_jsonl(mpath) if "epoch" in r]
@@ -135,9 +149,10 @@ METRIC_KEYS = {"acc": ("train/acc", "val/acc", "Accuracy"),
 
 
 def comparison_curves(run_dirs, out_dir, metrics=("acc", "loss", "f1"),
-                      smooth_window=11, show_original=True):
+                      smooth_window=11, show_original=True,
+                      difficulty="default", prefix=""):
     os.makedirs(out_dir, exist_ok=True)
-    runs = discover_runs(run_dirs)
+    runs = discover_runs(run_dirs, difficulty=difficulty)
     by_task = defaultdict(list)
     for r in runs:
         by_task[r["task"]].append(r)
@@ -183,7 +198,7 @@ def comparison_curves(run_dirs, out_dir, metrics=("acc", "loss", "f1"),
                       shadow=True, ncol=2 if len(handles) > 6 else 1,
                       fontsize=9.5)
             plt.tight_layout()
-            path = os.path.join(out_dir, f"{task}_{metric}.png")
+            path = os.path.join(out_dir, f"{prefix}{task}_{metric}.png")
             plt.savefig(path, dpi=300, bbox_inches="tight")
             plt.close(fig)
             written.append(path)
@@ -515,6 +530,11 @@ def main() -> None:
     if args.mode in ("curves", "all") and args.run_dirs:
         comparison_curves(args.run_dirs, args.out,
                           smooth_window=args.smooth_window)
+        # hard-preset runs share the run dirs; they get their own hard_*
+        # figure files so the default headline figures stay unmixed
+        comparison_curves(args.run_dirs, args.out,
+                          smooth_window=args.smooth_window,
+                          difficulty="hard", prefix="hard_")
     if args.mode in ("labels", "all"):
         label_distribution_plots(args.out, data_root=args.data_root)
     if args.mode in ("zinc", "all"):
