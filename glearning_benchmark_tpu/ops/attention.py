@@ -59,6 +59,65 @@ def dropout_keep_mask(rng, shape, rate: float):
     return keep[..., :s_last], thresh / 256.0
 
 
+def _hash1_u32(seed_u32, idx_u32):
+    """triple32-style avalanche finalizer over a linear element index.
+
+    Same hash family as the flash kernel's in-kernel counter RNG
+    (:func:`.pallas_attention._hash_u32` — already a shipped, documented
+    dropout stream), specialized to a single pre-linearized index. The
+    finalizer is a bijection on u32, so distinct word indices map to
+    distinct outputs (perfect equidistribution of the word stream).
+    """
+    x = idx_u32 * jnp.uint32(0x9E3779B1) + seed_u32
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_keep_mask(seed_u32, shape, rate: float):
+    """Counter-hash keep mask: blocked-byte layout, ~10 u32 ops per word.
+
+    Drop-in alternative generator to :func:`dropout_keep_mask`'s threefry
+    path. threefry2x32 burns ~7 rounds (~100 u32 ALU ops) per word; at
+    production widths that generator work is the dominant residual dropout
+    cost after the blocked-byte layout fix (DROPOUT_MICROBENCH.json). Here
+    each u32 word is ``finalizer(linear_word_index + seed)`` — ~10 ALU ops,
+    pure elementwise over an iota so XLA fuses it into the consuming
+    select, and the backward can regenerate it for the cost of the iota
+    + hash instead of loading stored words from HBM.
+
+    Statistical contract: identical to the flash kernel's in-kernel
+    dropout stream family (triple32 avalanche over absolute element
+    indices; pallas_attention.py docstring) — a Bernoulli(1-p') marginal
+    with p' = round(p*256)/256, independent across sites because each
+    dropout site derives a distinct ``seed_u32`` from its own flax RNG
+    key. Word indices are linearized over the whole tensor (u32 wrap
+    beyond 2^32 words = 16G elements is fine at any realistic activation
+    size). Returns ``(keep bool[shape], effective_rate)``.
+    """
+    thresh = int(round(rate * 256.0))
+    if thresh <= 0:
+        return jnp.ones(shape, bool), 0.0
+    s_last = shape[-1]
+    sq = (s_last + 3) // 4
+    wshape = shape[:-1] + (sq,)
+    nax = len(wshape)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, wshape, nax - 1)
+    stride = sq
+    for ax in range(nax - 2, -1, -1):
+        idx = idx + jax.lax.broadcasted_iota(jnp.uint32, wshape, ax) \
+            * jnp.uint32(stride)
+        stride *= wshape[ax]
+    words = _hash1_u32(jnp.asarray(seed_u32, jnp.uint32), idx)
+    keep = jnp.concatenate(
+        [((words >> s).astype(jnp.uint8) >= jnp.uint8(thresh))
+         for s in (0, 8, 16, 24)], axis=-1)
+    return keep[..., :s_last], thresh / 256.0
+
+
 def cheap_dropout(rng, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     """Inverted dropout on activations via :func:`dropout_keep_mask`.
 
@@ -72,6 +131,14 @@ def cheap_dropout(rng, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     The blocked-byte mask generates at a quarter of the elements and
     compares in u8.
 
+    r5: the word generator is :func:`hash_keep_mask` (counter-hash over
+    the linear element index, seeded by one threefry word drawn from
+    ``rng``) rather than threefry-per-word — measured 2x cheaper at the
+    production FFN shape (DROPOUT_MICROBENCH.json: dropout cost 1.34 ->
+    0.66 ms per block vs the no-dropout ceiling) because the hash is ~10
+    ALU ops/word vs threefry's ~100 and XLA fuses the iota+hash into the
+    consuming select.
+
     Semantics: same Bernoulli(1-p') marginal per element with p'
     quantized to round(p*256)/256 and the exact 1/(1-p') rescale —
     unbiased, like the attention path. The Bernoulli STREAM differs from
@@ -79,9 +146,10 @@ def cheap_dropout(rng, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     are what the framework pins — see EncoderLayer's docstring and the
     flash/ring kernels which already draw their own streams).
     """
-    keep, p_eff = dropout_keep_mask(rng, x.shape, rate)
-    if p_eff == 0.0:
+    if int(round(rate * 256.0)) <= 0:
         return x
+    seed = jax.random.bits(rng, (), jnp.uint32)
+    keep, p_eff = hash_keep_mask(seed, x.shape, rate)
     return jnp.where(keep, x / (1.0 - p_eff), jnp.zeros((), x.dtype))
 
 
@@ -122,7 +190,12 @@ def multi_head_attention(
         # rows attending to nothing (fully padded) produce uniform softmax over
         # -inf; zero them out so padded queries emit exact zeros
         probs = jnp.where(allow, probs, 0.0)
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        keep, p_eff = dropout_keep_mask(dropout_rng, probs.shape, dropout_rate)
+    if dropout_rate > 0.0 and dropout_rng is not None \
+            and int(round(dropout_rate * 256.0)) > 0:
+        # counter-hash generator (see hash_keep_mask): measured 2x cheaper
+        # mask generation than the threefry blocked-byte path at both the
+        # benchmark head dims and production widths
+        seed = jax.random.bits(dropout_rng, (), jnp.uint32)
+        keep, p_eff = hash_keep_mask(seed, probs.shape, dropout_rate)
         probs = jnp.where(keep, probs / (1.0 - p_eff), 0.0)
     return jnp.einsum("bhls,bshd->blhd", probs, v)

@@ -8,11 +8,17 @@ encoder FFN block (ff1 -> relu -> drop -> ff2 -> drop) fwd+bwd at the
 MFU shape under candidate mask-application strategies:
 
   none        no dropout (the ceiling)
-  where       current: bool mask via blocked-byte unpack, jnp.where
+  where       blocked-byte threefry mask, jnp.where (the r4 path)
   mul         same mask, applied as x * keep.astype(bf16) * scale
   bernoulli   flax-style full-threefry bernoulli (the r4 baseline)
   remat_drop  where-mask with jax.checkpoint around the drop sites so
               the bwd regenerates masks instead of loading them
+  hash        counter-hash mask (ops/attention.hash_keep_mask): the
+              flash kernel's triple32 finalizer over absolute element
+              indices, one u32 word -> four mask bytes. ~10 u32 ops
+              per word vs threefry's ~100, fuses like any elementwise
+              op, and the bwd can regenerate it for the cost of an
+              iota+hash instead of loading stored words.
 
 Timing: K-iteration scanned fwd+bwd blocks, host-fetch timed (CLAUDE.md
 tunnel discipline). Writes DROPOUT_MICROBENCH.json.
@@ -45,7 +51,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from glearning_benchmark_tpu.ops.attention import dropout_keep_mask
+    from glearning_benchmark_tpu.ops.attention import (
+        dropout_keep_mask, hash_keep_mask)
 
     d, b, l = args.d_model, args.batch, args.seq
     f = 4 * d
@@ -66,6 +73,11 @@ def main() -> None:
     def drop_bernoulli(rng, y):
         keep = jax.random.bernoulli(rng, 1.0 - p, y.shape)
         return jnp.where(keep, y / (1.0 - p), jnp.zeros((), y.dtype))
+
+    def drop_hash(rng, y):
+        seed = jax.random.bits(rng, (), jnp.uint32)  # one threefry word
+        keep, pe = hash_keep_mask(seed, y.shape, p)
+        return jnp.where(keep, y / (1.0 - pe), jnp.zeros((), y.dtype))
 
     def block(dropfn, remat=False):
         def ffn(x, rng):
@@ -102,6 +114,8 @@ def main() -> None:
         ("mul", block(drop_mul)),
         ("bernoulli", block(drop_bernoulli)),
         ("remat_drop", block(drop_where, remat=True)),
+        ("hash", block(drop_hash)),
+        ("hash_remat", block(drop_hash, remat=True)),
     ]
     rows = []
     for name, fn in variants:
