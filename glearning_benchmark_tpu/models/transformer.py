@@ -48,10 +48,14 @@ class EncoderLayer(nn.Module):
     moe_capacity: float = 1.25
     ep_mesh: Any = None   # ('data','expert') Mesh -> manual all-to-all MoE
     # measurement overrides (tools/mfu_bench.py --attrib): split the
-    # attention-prob dropout rate from the residual/FFN nn.Dropout rate.
-    # None -> p_drop for both (the shipped behavior).
+    # attention-prob dropout rate from the residual/FFN nn.Dropout rate,
+    # and optionally split the latter into its two [B,L,d] residual sites
+    # (attn-out, ffn-out) vs the [B,L,d_ff] FFN-inner site.
+    # None -> p_drop for all (the shipped behavior).
     attn_p_drop: Optional[float] = None
     mlp_p_drop: Optional[float] = None
+    resid_p_drop: Optional[float] = None   # the two [B,L,d] sites
+    ffn_p_drop: Optional[float] = None     # the [B,L,d_ff] inner site
 
     def _drop(self, x, rate: float, deterministic: bool):
         """Residual/FFN dropout via the quantized blocked-byte keep mask.
@@ -76,6 +80,8 @@ class EncoderLayer(nn.Module):
         hd = d // h
         p_attn = self.p_drop if self.attn_p_drop is None else self.attn_p_drop
         p_mlp = self.p_drop if self.mlp_p_drop is None else self.mlp_p_drop
+        p_res = p_mlp if self.resid_p_drop is None else self.resid_p_drop
+        p_ffn = p_mlp if self.ffn_p_drop is None else self.ffn_p_drop
         qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, h, hd)
@@ -112,7 +118,7 @@ class EncoderLayer(nn.Module):
                 dropout_rate=attn_drop,
                 dropout_rng=self.make_rng("dropout") if attn_drop else None)
         attn = nn.Dense(d, name="out_proj", dtype=self.dtype)(attn.reshape(b, l, d))
-        attn = self._drop(attn, p_mlp, deterministic)
+        attn = self._drop(attn, p_res, deterministic)
         x = nn.LayerNorm(name="norm1")((x + attn).astype(jnp.float32))
 
         if self.moe_experts > 0:
@@ -123,9 +129,9 @@ class EncoderLayer(nn.Module):
         else:
             y = nn.Dense(self.d_ff, name="ff1", dtype=self.dtype)(x)
             y = nn.relu(y)
-            y = self._drop(y, p_mlp, deterministic)
+            y = self._drop(y, p_ffn, deterministic)
             y = nn.Dense(d, name="ff2", dtype=self.dtype)(y)
-        y = self._drop(y, p_mlp, deterministic)
+        y = self._drop(y, p_res, deterministic)
         return nn.LayerNorm(name="norm2")((x + y).astype(jnp.float32))
 
 
@@ -243,6 +249,9 @@ class SimpleTransformer(nn.Module):
     attn_p_drop: Optional[float] = None   # measurement overrides: split the
     mlp_p_drop: Optional[float] = None    # attention-prob vs residual/FFN
                                           # dropout rates (None -> p_drop)
+    resid_p_drop: Optional[float] = None  # finer split of mlp_p_drop: the
+    ffn_p_drop: Optional[float] = None    # two [B,L,d] residual sites vs
+                                          # the [B,L,d_ff] FFN-inner site
 
     @nn.compact
     def __call__(
@@ -277,6 +286,8 @@ class SimpleTransformer(nn.Module):
                           self.moe_experts, self.moe_capacity, self.ep_mesh,
                           attn_p_drop=self.attn_p_drop,
                           mlp_p_drop=self.mlp_p_drop,
+                          resid_p_drop=self.resid_p_drop,
+                          ffn_p_drop=self.ffn_p_drop,
                           name=f"layer_{i}")(h, attn_mask, deterministic, seg)
 
         return transformer_readout(

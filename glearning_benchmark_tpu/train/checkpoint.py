@@ -62,6 +62,17 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
         if state.get(section) is not None:
             flat = _flatten(state[section], f"{section}/")
             arrays.update(flat)
+    # np.savez silently degrades ml_dtypes extension dtypes (bfloat16 —
+    # the AdamW mu default since r5) to raw void ('|V2'); store such
+    # arrays as a same-width uint view and record the true dtype so
+    # load_checkpoint restores them bit-exactly
+    ext_dtypes = {}
+    for k, v in arrays.items():
+        if v.dtype.kind == "V" or v.dtype.name not in np.sctypeDict:
+            ext_dtypes[k] = v.dtype.name
+            arrays[k] = v.view(np.dtype(f"u{v.dtype.itemsize}"))
+    if ext_dtypes:
+        meta["ext_dtypes"] = ext_dtypes
     for k in ("epoch", "best_val", "config", "vocab", "serve"):
         if k in state and state[k] is not None:
             meta[k] = state[k]
@@ -79,11 +90,15 @@ def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
         return None
     z = np.load(path + ".npz")
     flat = {k: z[k] for k in z.files}
-    tree = _unflatten(flat)
     meta = {}
     if os.path.isfile(path + ".json"):
         with open(path + ".json") as f:
             meta = json.load(f)
+    for k, name in meta.pop("ext_dtypes", {}).items():
+        if k in flat:
+            import ml_dtypes  # bfloat16 et al. register through here
+            flat[k] = flat[k].view(np.dtype(getattr(ml_dtypes, name)))
+    tree = _unflatten(flat)
     return {
         "params": tree.get("params"),
         "batch_stats": tree.get("batch_stats"),

@@ -710,13 +710,17 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
             0.0, lr, warm, max(epochs * steps_per_epoch, warm + 1))
     else:
         schedule = lr
-    # `train.mu_dtype: bfloat16` stores the AdamW first moment in bf16
+    # `train.mu_dtype` stores the AdamW first moment in bf16 BY DEFAULT
     # (optax casts on read/write; nu stays f32 for scale stability) —
-    # halves mu HBM traffic, measured +2.5 MFU points at d2048
-    # (MFU_ATTRIB_2048.json bf16_mu 54.3% vs base 51.8%). Off by default:
-    # the reference's torch AdamW keeps f32 state, and at benchmark model
-    # sizes optimizer traffic is negligible.
-    mu_dtype = train_cfg.get("mu_dtype")
+    # halves mu HBM traffic, measured +2 MFU points at d2048
+    # (MFU_ATTRIB_2048.json bf16_mu 56.3% vs hash-dropout base 54.2%).
+    # Accuracy is a measured wash at every shipped benchmark config
+    # (MU_AB.json: ibtt-cycle/mpnn-cycle/gps-sp/agtt-zinc best_val equal
+    # to f32 within seed spread — the small-model regime is where bf16
+    # rounding in the update direction would show first, and it doesn't).
+    # `train.mu_dtype: float32` restores the reference-style f32 state;
+    # optimizer-state dtype is not a reference-observable surface.
+    mu_dtype = train_cfg.get("mu_dtype", "bfloat16")
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(schedule, weight_decay=weight_decay,
@@ -853,9 +857,18 @@ def train(config: dict, model_name: str, limit: Optional[int] = None,
                 # picks up exactly where the best epoch left off (r1 resume
                 # silently restarted the optimizer/schedule from step 0)
                 saved = ckpt["opt_state"]
+                # cast every restored leaf to the live optimizer template's
+                # dtype: a checkpoint written under the pre-r5 f32 AdamW mu
+                # resumes cleanly under the bf16-mu default (and vice
+                # versa) — mu precision is a storage choice, not state
+                # semantics
+                tmpl_leaves = jax.tree.leaves(opt_state)
                 leaves = [jnp.asarray(saved[k]) for k in sorted(saved)]
                 template = jax.tree.structure(opt_state)
                 if template.num_leaves == len(leaves):
+                    leaves = [l.astype(t.dtype) if hasattr(t, "dtype")
+                              and l.dtype != t.dtype else l
+                              for l, t in zip(leaves, tmpl_leaves)]
                     opt_state = jax.tree.unflatten(template, leaves)
                 elif verbose:
                     print("[warn] checkpoint opt_state does not match the "

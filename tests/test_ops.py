@@ -220,6 +220,44 @@ def test_dropout_keep_mask_statistics():
     assert abs(scaled.mean() - 1.0) < 0.005
 
 
+def test_hash_keep_mask_statistics():
+    """Counter-hash keep mask (r5 generator behind cheap_dropout and the
+    XLA attention-prob path): quantized rate, per-position marginals
+    across seeds, seed sensitivity, determinism, odd last-dim shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from glearning_benchmark_tpu.ops.attention import hash_keep_mask
+
+    keep, p_eff = hash_keep_mask(jnp.uint32(1234), (64, 129), 0.1)
+    assert p_eff == 26 / 256
+    assert keep.shape == (64, 129)
+    rate = 1.0 - float(np.asarray(keep).mean())
+    assert abs(rate - p_eff) < 0.012, rate
+
+    # deterministic for a fixed seed; different seeds decorrelate to the
+    # independent-stream agreement level (p^2 + (1-p)^2 ~ 0.817)
+    k1 = np.asarray(hash_keep_mask(jnp.uint32(1234), (64, 129), 0.1)[0])
+    assert (np.asarray(keep) == k1).all()
+    k2 = np.asarray(hash_keep_mask(jnp.uint32(99), (64, 129), 0.1)[0])
+    agree = (k1 == k2).mean()
+    assert abs(agree - 0.817) < 0.02, agree
+
+    # per-position marginal over many seeds: no stuck positions (the
+    # finalizer is a bijection, so any fixed position cycles through all
+    # u32 values as the seed varies)
+    drops = np.zeros(64, np.int64)
+    for s in range(200):
+        kk = np.asarray(hash_keep_mask(jnp.uint32(s), (4, 16), 0.1)[0])
+        drops += ~kk.reshape(-1)
+    frac = drops / 200.0
+    assert frac.max() < 0.25 and abs(frac.mean() - 26 / 256) < 0.02
+
+    # rate that quantizes to zero keeps everything
+    k0, p0 = hash_keep_mask(jnp.uint32(0), (8, 8), 0.001)
+    assert p0 == 0.0 and np.asarray(k0).all()
+
+
 def test_cheap_dropout_activation_semantics():
     """cheap_dropout (the r5 residual/FFN nn.Dropout replacement): zeros
     exactly p_eff of elements, rescales survivors by exactly 1/(1-p_eff)

@@ -123,3 +123,38 @@ def test_eval_only_explicit_checkpoint_path(tmp_path):
     cfg["train"]["resume_path"] = str(tmp_path / "elsewhere.npz")
     res = train(cfg, "ibtt", verbose=False)
     assert res.best_val > 0
+
+
+def test_bf16_mu_checkpoint_roundtrip_and_cross_dtype_resume(tmp_path):
+    """r5: AdamW mu defaults to bf16. (a) np.savez degrades ml_dtypes
+    extension dtypes to raw void — the checkpoint layer must round-trip
+    bf16 opt_state bit-exactly (ext_dtypes meta + uint view); (b) a
+    checkpoint written under f32 mu must resume cleanly under the bf16
+    default (template-dtype cast on restore) and vice versa."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from glearning_benchmark_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    # (a) exact bf16 round trip through the npz fallback format
+    mu = jnp.arange(7, dtype=jnp.bfloat16) * 0.25
+    save_checkpoint(str(tmp_path / "ck"),
+                    {"params": {"w": jnp.ones((2,), jnp.float32)},
+                     "opt_state": {"mu": {"w": mu}}, "epoch": 0,
+                     "best_val": 0.0})
+    r = load_checkpoint(str(tmp_path / "ck"))
+    got = r["opt_state"]["mu"]["w"]
+    assert got.dtype == jnp.bfloat16
+    assert (np.asarray(got, np.float32) == np.asarray(mu, np.float32)).all()
+
+    # (b) f32-mu run -> checkpoint -> resume under the bf16-mu default
+    root = tempfile.mkdtemp()
+    out = str(tmp_path / "xdtype")
+    cfg = _cfg(root, out, epochs=3)
+    cfg["train"]["mu_dtype"] = "float32"
+    res1 = train(cfg, "ibtt", verbose=False)
+    cfg2 = _cfg(root, out, epochs=6, resume=True)  # default mu: bfloat16
+    res2 = train(cfg2, "ibtt", verbose=False)
+    assert res2.best_val >= res1.best_val - 1e-9
+    assert len(res2.history) < 6  # actually resumed, not restarted

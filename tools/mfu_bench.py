@@ -156,9 +156,11 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
             batch: int, steps: int, vocab: int, peak_tflops: float,
             hbm_gbps: float, use_flash: bool,
             measured_tflops: float | None = None, p_drop: float = 0.1,
-            mu_dtype=None, prng_impl: str | None = None,
+            mu_dtype="bfloat16", prng_impl: str | None = None,
             remat: bool = False, attn_p_drop: float | None = None,
-            mlp_p_drop: float | None = None) -> dict:
+            mlp_p_drop: float | None = None,
+            resid_p_drop: float | None = None,
+            ffn_p_drop: float | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -174,6 +176,7 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
         use_query_nodes=False, task="cycle_check",
         use_flash=use_flash, compute_dtype="bfloat16",
         attn_p_drop=attn_p_drop, mlp_p_drop=mlp_p_drop,
+        resid_p_drop=resid_p_drop, ffn_p_drop=ffn_p_drop,
         **({"remat": True} if remat else {}))
 
     rng = np.random.default_rng(0)
@@ -190,6 +193,12 @@ def run_one(d_model: int, layers: int, heads: int, d_ff: int, seq: int,
 
     # mu_dtype=bfloat16 halves the AdamW first-moment HBM traffic (optax
     # casts mu on read/write; nu stays f32 for scale stability)
+    # bf16 mu is the shipped trainer default since r5 (MU_AB.json accuracy
+    # parity); "float32" is the opt-out, mirroring train.mu_dtype
+    if mu_dtype == "bfloat16":
+        mu_dtype = jnp.bfloat16
+    elif mu_dtype in ("float32", None):
+        mu_dtype = None
     opt = optax.adamw(1e-3, weight_decay=1e-5, mu_dtype=mu_dtype)
     opt_state = opt.init(params)
 
@@ -375,12 +384,17 @@ def main() -> None:
             ("flash_attn", {"use_flash": True}),
             ("no_dropout", {"p_drop": 0.0}),
             ("rbg_keys", {"prng_impl": "rbg"}),
-            ("bf16_mu", {"mu_dtype": "bfloat16"}),
+            ("f32_mu", {"mu_dtype": "float32"}),
             ("remat", {"remat": True}),
             # split the dropout cost: attention-prob mask vs the three
             # residual/FFN sites (both on the blocked-byte mask since r5)
             ("attn_dropout_only", {"mlp_p_drop": 0.0}),
             ("mlp_dropout_only", {"attn_p_drop": 0.0}),
+            # finer split of the mlp-dropout cost: the [B,L,d_ff]
+            # FFN-inner site alone vs the two [B,L,d] residual sites
+            # alone (both with attention-prob dropout off)
+            ("ffn_dropout_only", {"attn_p_drop": 0.0, "resid_p_drop": 0.0}),
+            ("resid_dropout_only", {"attn_p_drop": 0.0, "ffn_p_drop": 0.0}),
         ]
         only = set(v for v in args.variants.split(",") if v)
         rows = []
@@ -390,9 +404,6 @@ def main() -> None:
                     continue
                 kw = dict(kw)
                 kw.setdefault("use_flash", flash_default)
-                if kw.get("mu_dtype") == "bfloat16":
-                    import jax.numpy as _jnp
-                    kw["mu_dtype"] = _jnp.bfloat16
                 try:
                     r = run_one(dm, args.layers, args.heads,
                                 args.ff_mult * dm, args.seq, args.batch,
@@ -425,10 +436,12 @@ def main() -> None:
                        "note": "step-variant attribution of the MFU gap: "
                                "each variant changes one thing vs base "
                                "(same analytic-FLOP numerator, fetch-timed "
-                               "K-step blocks). no_dropout/xla_* isolate "
-                               "mask-generation and attention-impl cost; "
-                               "bf16_mu halves AdamW mu traffic; remat "
-                               "trades FLOPs for HBM.",
+                               "K-step blocks). Base = shipped defaults: "
+                               "XLA attention, counter-hash blocked-byte "
+                               "dropout, bf16 AdamW mu. no_dropout and the "
+                               "*_dropout_only rows isolate per-site mask "
+                               "cost; f32_mu restores the pre-r5 f32 first "
+                               "moment; remat trades FLOPs for HBM.",
                        "rows": rows}, f, indent=2)
         print(f"wrote {out}", flush=True)
         return
@@ -457,7 +470,10 @@ def main() -> None:
                    **({"measured_matmul_tflops": round(measured, 1)}
                       if measured else {}),
                    "note": "full train step (fwd+bwd+AdamW), bf16 compute, "
-                           "XLA attention (shipped-config default); MFU = "
+                           "XLA attention + counter-hash blocked-byte "
+                           "dropout + bf16 AdamW mu (the shipped-config "
+                           "defaults, r5; MU_AB.json documents mu accuracy "
+                           "parity); MFU = "
                            "analytic model FLOPs (3x(2*P_mm*T + attn)) "
                            "/ (fetch-timed step_s * peak); K-step scan blocks "
                            "timed by host value fetch with half-K scaling "

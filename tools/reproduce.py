@@ -84,6 +84,12 @@ STEPS = [
      [sys.executable, "tools/mfu_bench.py", "--attrib", "--d-model", "1024",
       "--batch", "32", "--out", "MFU_ATTRIB_1024.json"],
      ["MFU_ATTRIB_1024.json"], True, 10800),
+    ("dropout-microbench",
+     [sys.executable, "tools/dropout_microbench.py"],
+     ["DROPOUT_MICROBENCH.json"], True, 3600),
+    ("mu-ab",
+     [sys.executable, "tools/mu_ab.py"],
+     ["MU_AB.json"], True, 10800),
     ("zinc-seeds",
      [sys.executable, "tools/zinc_seeds.py"],
      ["ZINC_SEEDS.json"], True, 10800),
