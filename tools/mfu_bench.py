@@ -485,7 +485,15 @@ def main() -> None:
                            "kernels — EPD_SWEEP.json shows the same floor "
                            "amortizing ~1/K with K epochs per dispatch, and "
                            "sub-d1024 MFU on a locally attached chip would "
-                           "not see it.",
+                           "not see it. d512 and d1024 run at B=32: at B=64 "
+                           "every XLA-attention variant fails remote compile "
+                           "with an HBM OOM (the per-layer attention-prob "
+                           "keep-mask residuals; d1024 evidence in "
+                           "MFU_ATTRIB_1024_B64.json, d512 joined after the "
+                           "counter-hash mask changed XLA's remat choices) — "
+                           "both rows are overhead/dispatch-bound through "
+                           "the tunnel, so the batch halving does not move "
+                           "the story.",
                    "rows": rows}, f, indent=2)
     print(f"wrote {args.out}", flush=True)
 
